@@ -1,0 +1,154 @@
+"""Flat configuration dataclass mirroring the reference argparse surface.
+
+The reference threads a single ``argparse.Namespace`` (``opt``) through every layer
+(``main_nerf.py:16-70``, ``main_palette.py:16-101`` in the reference repo). We keep the
+same flat field names so configs and shell scripts translate 1:1, but as a typed,
+hashable dataclass that can be closed over by ``jax.jit``.
+
+Fixes two latent flag bugs of the reference (fields read but never declared there):
+``ablation_name`` (palette/provider.py:273) and ``sigma_color`` (palette/utils.py:511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    """All options for every stage (nerf / extract / palette).
+
+    Field names follow the reference CLI flags (main_nerf.py:16-70, main_palette.py:16-101).
+    """
+
+    # positional
+    path: str = ""
+
+    # macro flag: -O == --fp16 --cuda_ray --preload (main_nerf.py:72-75)
+    O: bool = False
+
+    test: bool = False
+    workspace: str = "workspace"
+    seed: int = 0
+    version_id: int = -1
+
+    # training
+    iters: int = 30000
+    lr: float = 1e-2
+    ckpt: str = "latest"
+    num_rays: int = 4096
+    cuda_ray: bool = True  # kept for CLI parity; TPU build always uses grid marching
+    max_steps: int = 1024
+    num_steps: int = 512
+    upsample_steps: int = 0
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+    patch_size: int = 1
+
+    # precision
+    fp16: bool = False  # maps to bf16 compute on TPU
+
+    # dataset
+    color_space: str = "srgb"
+    preload: bool = False
+    bound: float = 2.0
+    scale: float = 0.33
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    dt_gamma: float = 1.0 / 128.0
+    min_near: float = 0.2
+    density_thresh: float = 10.0
+    bg_radius: float = -1.0
+    no_bg: bool = False
+
+    # GUI
+    gui: bool = False
+    W: int = 960
+    H: int = 540
+    radius: float = 5.0
+    fovy: float = 50.0
+    max_spp: int = 64
+
+    # experimental
+    error_map: bool = False
+    clip_text: str = ""
+    rand_pose: int = -1
+
+    lambda_sparse: float = 0.05
+    filter_close_point: bool = False
+
+    # ---- palette-stage options (main_palette.py:71-101) ----
+    nerf_workspace: str = ""
+    nerf_version_id: int = -1
+    extract_palette: bool = False
+    video: bool = False
+    use_initialization_from_rgbxy: bool = True
+    num_basis: int = 6
+    error_thres: float = 5.0 / 255.0
+    use_normalized_palette: bool = True
+
+    pred_clip: bool = False
+    clip_dim: int = 16
+    # latent-bug fixes: declared here (reference reads these but never defines them)
+    ablation_name: str = ""
+    sigma_color: float = 0.1
+
+    random_size: int = 0  # paired-pixel sampling window for patch smoothness
+
+    # palette loss weights (main_palette.py defaults)
+    lambda_sparsity: float = 2e-4
+    lambda_palette: float = 1e-3
+    lambda_offsets: float = 3e-2
+    lambda_view_dep: float = 1e-1
+    lambda_weight: float = 5e-2
+    lambda_smooth: float = 4e-3
+    lambda_patchsmooth: float = 0.0
+    smooth_sigma_xyz: float = 0.1
+    smooth_sigma_color: float = 0.1
+    smooth_sigma_clip: float = 0.1
+
+    lweight_decay_epoch: int = 100
+    max_freeze_palette_epoch: int = 50
+    smooth_loss_start_epoch: int = 50
+
+    # ---- TPU-rebuild-specific knobs (no reference analog) ----
+    grid_size: int = 128
+    train_samples_per_ray: int = 128   # S: compacted sample slots per ray (train)
+    infer_samples_per_ray: int = 512   # S: compacted sample slots per ray (eval)
+    t_thresh_train: float = 1e-4
+    t_thresh_infer: float = 1e-2
+    mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)
+    ema_decay: float = 0.95
+    eval_interval: int = 50
+    max_keep_ckpt: int = 2
+
+    # derived
+    @property
+    def cascade(self) -> int:
+        return 1 + max(0, math.ceil(math.log2(self.bound)))
+
+    @property
+    def fp16_enabled(self) -> bool:
+        return self.fp16 or self.O
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_args(cls, args) -> "Config":
+        """Build from an argparse Namespace (only copies known fields)."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in vars(args).items():
+            if k in names:
+                if k == "offset" and isinstance(v, list):
+                    v = tuple(v)
+                if k == "mesh_shape" and isinstance(v, list):
+                    v = tuple(v)
+                kw[k] = v
+        cfg = cls(**kw)
+        if cfg.O:
+            cfg = cfg.replace(fp16=True, cuda_ray=True, preload=True)
+        return cfg

@@ -1,0 +1,151 @@
+"""Multi-cascade occupancy grid: density EMA state, bit packing, frustum culling.
+
+TPU-native re-design of the reference density-grid machinery
+(``nerf/renderer.py:90-103`` state, ``:467-561`` update_extra_state, ``:395-465``
+mark_untrained_grid, and CUDA ``packbits`` ``raymarching/src/raymarching.cu:271-303``).
+
+Differences from the reference, by design:
+- **Linear cell layout** ``index = cas*H^3 + x*H^2 + y*H + z`` instead of Morton order
+  (Morton only buys CUDA memory coalescing; linear indexing is cheaper to compute in a
+  vectorized marcher). ``ops.morton`` still provides the Morton utilities.
+- The grid state is a functional pytree threaded through jitted update fns, not module
+  buffers.
+- The periodic refresh re-queries *all* cells on a strided schedule instead of the
+  reference's dynamic-shape "random + resampled occupied cells" pass
+  (``nerf/renderer.py:511-537``) — same EMA semantics, static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GridState(NamedTuple):
+    """Occupancy state (all jnp arrays; shapes static given cascade & grid_size)."""
+
+    density_grid: jnp.ndarray   # [CAS, H^3] f32; -1 marks untrained cells
+    bitfield: jnp.ndarray       # [CAS*H^3//8] uint8, linear bit order
+    mean_density: jnp.ndarray   # scalar f32
+    iter_density: jnp.ndarray   # scalar int32
+
+
+def init_grid_state(cascade: int, grid_size: int = 128) -> GridState:
+    H3 = grid_size ** 3
+    return GridState(
+        density_grid=jnp.zeros((cascade, H3), jnp.float32),
+        bitfield=jnp.zeros((cascade * H3 // 8,), jnp.uint8),
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+    )
+
+
+def packbits(occ: jnp.ndarray) -> jnp.ndarray:
+    """bool/[0,1] [CAS*H^3] -> uint8 [CAS*H^3//8]; bit i of byte b = cell b*8+i.
+
+    Mirrors kernel_packbits (raymarching.cu:271-303) with linear bit order.
+    """
+    bits = occ.reshape(-1, 8).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint8)).astype(jnp.uint8)
+    return (bits * weights[None, :]).sum(axis=-1, dtype=jnp.uint8)
+
+
+def occ_lookup(bitfield: jnp.ndarray, cell_index: jnp.ndarray) -> jnp.ndarray:
+    """Test occupancy bits for flat cell indices [...] -> bool [...]."""
+    byte = bitfield[cell_index >> 3]
+    return (byte >> (cell_index & 7).astype(jnp.uint8)) & 1 > 0
+
+
+def cell_world_coords(cascade: int, grid_size: int, bound: float):
+    """Static per-cascade world-space cell centers.
+
+    Returns xyz [CAS, H^3, 3] and half_grid_size [CAS] following
+    nerf/renderer.py:493-500: cells span [-(b - hgs), b - hgs] with b = min(2^cas, bound).
+    """
+    H = grid_size
+    r = jnp.arange(H, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    unit = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [H^3, 3] in [0, H)
+    unit = 2.0 * unit / (H - 1) - 1.0  # [-1, 1]
+    xyzs = []
+    hgs = []
+    for cas in range(cascade):
+        b = min(2.0 ** cas, bound)
+        half = b / H
+        xyzs.append(unit * (b - half))
+        hgs.append(half)
+    return jnp.stack(xyzs), jnp.asarray(hgs, jnp.float32)
+
+
+def update_density_grid(
+    state: GridState,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+    bound: float,
+    density_thresh: float,
+    density_scale: float = 1.0,
+    decay: float = 0.95,
+    grid_size: int = 128,
+) -> GridState:
+    """One density-grid refresh (EMA + repack). Jit-friendly; call every 16 steps.
+
+    Queries the density network at every cell center + uniform jitter within the cell
+    (nerf/renderer.py:485-507), EMA-updates ``max(old*decay, new)`` on cells where both
+    old and new are >= 0 (``:545-546``), recomputes mean density and repacks the bitfield
+    at ``min(mean_density, density_thresh)`` (``:552-553``).
+    """
+    cascade = state.density_grid.shape[0]
+    xyz, half = cell_world_coords(cascade, grid_size, bound)  # [CAS,H^3,3], [CAS]
+    noise = jax.random.uniform(key, xyz.shape, minval=-1.0, maxval=1.0)
+    pts = xyz + noise * half[:, None, None]
+    sigmas = density_fn(pts.reshape(-1, 3)).reshape(cascade, -1) * density_scale
+    tmp = sigmas.astype(jnp.float32)
+
+    old = state.density_grid
+    valid = old >= 0  # tmp is always >= 0 here (full refresh)
+    new_grid = jnp.where(valid, jnp.maximum(old * decay, tmp), old)
+    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+    thresh = jnp.minimum(mean_density, density_thresh)
+    bitfield = packbits((new_grid > thresh).reshape(-1))
+    return GridState(new_grid, bitfield, mean_density, state.iter_density + 1)
+
+
+def mark_untrained_grid(
+    state: GridState,
+    poses: jnp.ndarray,       # [B, 4, 4] c2w
+    intrinsics,               # (fx, fy, cx, cy)
+    bound: float,
+    min_near: float = 0.2,
+    filter_close_point: bool = False,
+    grid_size: int = 128,
+) -> GridState:
+    """Mark cells never seen by any training camera with density -1.
+
+    Port of nerf/renderer.py:395-465 (frustum coverage count + too-close filter).
+    """
+    fx, fy, cx, cy = [float(v) for v in intrinsics]
+    cascade = state.density_grid.shape[0]
+    xyz, half = cell_world_coords(cascade, grid_size, bound)
+
+    rot = poses[:, :3, :3]  # [B,3,3]
+    trans = poses[:, :3, 3]  # [B,3]
+
+    def one_cascade(cas_xyz, hgs):
+        # cam = (xyz - t) @ R  (poses are c2w; world->cam via R^T, matching :443-444)
+        cam = jnp.einsum("nc,bcd->bnd", cas_xyz, rot) - jnp.einsum("bc,bcd->bd", trans, rot)[:, None, :]
+        mz = cam[..., 2] > 0
+        mx = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + hgs * 2
+        my = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + hgs * 2
+        seen = (mz & mx & my)
+        count = seen.sum(axis=0)
+        close = (seen & (cam[..., 2] < min_near)).sum(axis=0)
+        if filter_close_point:
+            close = close + (jnp.linalg.norm(cam, axis=-1) < min_near).sum(axis=0)
+        return count, close
+
+    counts, closes = jax.vmap(one_cascade)(xyz, half)
+    covered = counts * (closes == 0)
+    grid = jnp.where(covered == 0, -1.0, state.density_grid)
+    return state._replace(density_grid=grid)

@@ -1,0 +1,180 @@
+"""Tests for the fixed-width marcher and masked compositor against sequential references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from palettenerf_tpu.ops.composite import composite_rays, composite_weights
+from palettenerf_tpu.ops.march import SQRT3, candidate_ts, march_rays, mip_level
+from palettenerf_tpu.ops.occupancy import init_grid_state, packbits
+
+
+def _sequential_ts(t0, num, dt_min, dt_max, gamma):
+    """Direct port of the CUDA stepping recurrence for verification."""
+    ts = []
+    t = t0
+    for _ in range(num):
+        ts.append(t)
+        t = t + np.clip(t * gamma, dt_min, dt_max)
+    return np.array(ts)
+
+
+def test_candidate_ts_matches_sequential_recurrence():
+    for gamma in [0.0, 1 / 128, 1 / 64]:
+        dt_min, dt_max = 2 * SQRT3 / 1024, 2 * SQRT3 * 2 / 128
+        t0 = np.array([0.05, 0.2, 1.7], dtype=np.float32)
+        got = np.asarray(candidate_ts(jnp.asarray(t0), 256, dt_min, dt_max, gamma))
+        for i, t in enumerate(t0):
+            ref = _sequential_ts(t, 256, dt_min, dt_max, gamma)
+            np.testing.assert_allclose(got[i], ref, rtol=2e-4, atol=1e-5)
+
+
+def test_mip_level_matches_frexp():
+    xyz = jnp.asarray([[0.3, 0.1, 0.2], [0.7, 0.0, 0.0], [1.5, 0.2, 0.1], [3.0, 0.0, 0.0]])
+    dt = jnp.full((4,), 1e-3)
+    lvl = np.asarray(mip_level(xyz, dt, 128, 4))
+    # frexp exponents of max|xyz|: 0.3->-1, 0.7->0, 1.5->1, 3.0->2 ; clamped to >= 0
+    np.testing.assert_array_equal(lvl, [0, 0, 1, 2])
+
+
+def _occupied_box_bitfield(cascade=1, H=128, lo=-0.5, hi=0.5, bound=1.0):
+    """Occupancy bitfield with a solid box [lo,hi]^3 occupied."""
+    r = (2 * (np.arange(H) + 0.5) / H - 1) * bound
+    occ = ((r[:, None, None] >= lo) & (r[:, None, None] <= hi)
+           & (r[None, :, None] >= lo) & (r[None, :, None] <= hi)
+           & (r[None, None, :] >= lo) & (r[None, None, :] <= hi))
+    full = np.zeros((cascade, H, H, H), bool)
+    full[0] = occ
+    return packbits(jnp.asarray(full.reshape(-1)))
+
+
+def test_march_rays_hits_occupied_box_only():
+    H, bound = 128, 1.0
+    bf = _occupied_box_bitfield(H=H, bound=bound)
+    o = jnp.asarray([[0.0, 0.0, -2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    near = jnp.asarray([1.0])
+    far = jnp.asarray([3.0])
+    res = march_rays(o, d, near, far, bf, bound, 1, H, 0.0, 1024, 384)
+    n = int(res.mask.sum())
+    assert n > 0
+    z = np.asarray(res.xyzs[0, :n, 2])
+    # samples only inside the occupied box (allow one cell of slack at the boundary)
+    cell = 2 * bound / H
+    assert (z >= -0.5 - cell).all() and (z <= 0.5 + cell).all()
+    # t strictly increasing over valid slots
+    ts = np.asarray(res.ts[0, :n])
+    assert (np.diff(ts) > 0).all()
+    # expected sample count ~ box depth / dt_min
+    dt_min = 2 * SQRT3 / 1024
+    assert abs(n - 1.0 / dt_min) < 20
+
+
+def test_march_rays_miss_gives_empty():
+    H, bound = 128, 1.0
+    bf = _occupied_box_bitfield(H=H, bound=bound)
+    o = jnp.asarray([[0.9, 0.9, -2.0]])  # passes outside the box corner
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    near, far = jnp.asarray([1.0]), jnp.asarray([3.0])
+    res = march_rays(o, d, near, far, bf, bound, 1, H, 0.0, 1024, 64)
+    assert int(res.mask.sum()) == 0
+
+
+def _sequential_composite(sigmas, rgbs, dts, t_cum, t_thresh):
+    """Direct port of kernel_composite_rays_train_forward (raymarching.cu:537-570)."""
+    T, ws, d = 1.0, 0.0, 0.0
+    rgb = np.zeros(3)
+    for j in range(len(sigmas)):
+        alpha = 1 - np.exp(-sigmas[j] * dts[j])
+        w = alpha * T
+        rgb += w * rgbs[j]
+        d += w * t_cum[j]
+        ws += w
+        T *= 1 - alpha
+        if T < t_thresh:
+            break
+    return ws, d, rgb
+
+
+def test_composite_matches_sequential_reference():
+    rng = np.random.default_rng(7)
+    N, S = 8, 64
+    sigmas = rng.uniform(0, 50, (N, S)).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (N, S, 3)).astype(np.float32)
+    dts = np.full((N, S), 0.01, np.float32)
+    t_cum = np.cumsum(dts, axis=1).astype(np.float32)
+    nvalid = rng.integers(0, S + 1, N)
+    mask = np.arange(S)[None, :] < nvalid[:, None]
+
+    ws, depth, image = composite_rays(
+        jnp.asarray(sigmas), jnp.asarray(rgbs), jnp.asarray(dts),
+        jnp.asarray(t_cum), jnp.asarray(mask), 1e-4,
+    )
+    for i in range(N):
+        n = nvalid[i]
+        rws, rd, rrgb = _sequential_composite(sigmas[i, :n], rgbs[i, :n], dts[i, :n], t_cum[i, :n], 1e-4)
+        np.testing.assert_allclose(ws[i], rws, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(depth[i], rd, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(image[i], rrgb, rtol=1e-4, atol=1e-5)
+
+
+def test_composite_early_termination_mask():
+    # huge density: first sample saturates, later ones must be excluded
+    sigmas = jnp.full((1, 8), 1e4)
+    dts = jnp.full((1, 8), 0.1)
+    mask = jnp.ones((1, 8), bool)
+    w, ws, _ = composite_weights(sigmas, dts, mask, 1e-4)
+    assert float(w[0, 0]) > 0.999
+    assert float(jnp.abs(w[0, 1:]).sum()) == 0.0
+
+
+def test_composite_gradients_finite():
+    rng = np.random.default_rng(8)
+    sigmas = jnp.asarray(rng.uniform(0, 10, (4, 16)), jnp.float32)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (4, 16, 3)), jnp.float32)
+    dts = jnp.full((4, 16), 0.02)
+    t_cum = jnp.cumsum(dts, axis=1)
+    mask = jnp.ones((4, 16), bool)
+
+    def loss(s, r):
+        ws, d, img = composite_rays(s, r, dts, t_cum, mask, 1e-4)
+        return (img ** 2).sum() + (ws ** 2).sum()
+
+    gs, gr = jax.grad(loss, argnums=(0, 1))(sigmas, rgbs)
+    assert np.isfinite(np.asarray(gs)).all() and np.isfinite(np.asarray(gr)).all()
+
+
+def test_composite_sigma_gradient_matches_analytic():
+    """Autodiff sigma-grad must equal the reference analytic form (raymarching.cu:741-746)."""
+    rng = np.random.default_rng(9)
+    S = 12
+    sigmas = rng.uniform(0.1, 20, S).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (S, 3)).astype(np.float32)
+    dts = np.full(S, 0.03, np.float32)
+    t_cum = np.cumsum(dts).astype(np.float32)
+    g_img = rng.uniform(-1, 1, 3).astype(np.float32)
+    g_ws = float(rng.uniform(-1, 1))
+
+    def out(s):
+        ws, d, img = composite_rays(
+            s[None], jnp.asarray(rgbs)[None], jnp.asarray(dts)[None],
+            jnp.asarray(t_cum)[None], jnp.ones((1, S), bool), 0.0,
+        )
+        return (img[0] * g_img).sum() + ws[0] * g_ws
+
+    got = np.asarray(jax.grad(out)(jnp.asarray(sigmas)))
+
+    # analytic reference
+    alpha = 1 - np.exp(-sigmas * dts)
+    T = np.concatenate([[1.0], np.cumprod(1 - alpha)])[:-1]
+    w = alpha * T
+    rgb_final = (w[:, None] * rgbs).sum(0)
+    ws_final = w.sum()
+    pref_rgb = np.cumsum(w[:, None] * rgbs, axis=0)
+    pref_ws = np.cumsum(w)
+    T_post = np.cumprod(1 - alpha)
+    expect = dts * (
+        (g_img * (T_post[:, None] * rgbs - (rgb_final - pref_rgb))).sum(-1)
+        + g_ws * (1 - ws_final)
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-5)
