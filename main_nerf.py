@@ -1,0 +1,128 @@
+"""Stage-1 CLI: train/test an Instant-NGP NeRF on TPU.
+
+Argument surface mirrors the reference ``main_nerf.py:16-75`` (flags, defaults, the
+``-O`` macro, workspace auto-versioning ``results/<name>/version_N``), dispatching to the
+TPU trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("path", type=str)
+    p.add_argument("-O", action="store_true", help="equals --fp16 --cuda_ray --preload")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--version_id", type=int, default=-1)
+
+    p.add_argument("--iters", type=int, default=30000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--num_rays", type=int, default=4096)
+    p.add_argument("--cuda_ray", action="store_true",
+                   help="kept for CLI parity; TPU grid marching is always used")
+    p.add_argument("--max_steps", type=int, default=1024)
+    p.add_argument("--num_steps", type=int, default=512)
+    p.add_argument("--upsample_steps", type=int, default=0)
+    p.add_argument("--update_extra_interval", type=int, default=16)
+    p.add_argument("--max_ray_batch", type=int, default=4096)
+    p.add_argument("--patch_size", type=int, default=1)
+
+    p.add_argument("--fp16", action="store_true", help="bf16 compute on TPU")
+
+    p.add_argument("--color_space", type=str, default="srgb")
+    p.add_argument("--preload", action="store_true")
+    p.add_argument("--bound", type=float, default=2.0)
+    p.add_argument("--scale", type=float, default=0.33)
+    p.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    p.add_argument("--dt_gamma", type=float, default=1 / 128)
+    p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--density_thresh", type=float, default=10)
+    p.add_argument("--bg_radius", type=float, default=-1)
+    p.add_argument("--no_bg", action="store_true")
+
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--W", type=int, default=960)
+    p.add_argument("--H", type=int, default=540)
+    p.add_argument("--radius", type=float, default=5)
+    p.add_argument("--fovy", type=float, default=50)
+    p.add_argument("--max_spp", type=int, default=64)
+
+    p.add_argument("--error_map", action="store_true")
+    p.add_argument("--clip_text", type=str, default="")
+    p.add_argument("--rand_pose", type=int, default=-1)
+
+    p.add_argument("--lambda_sparse", type=float, default=0.05)
+    p.add_argument("--filter_close_point", action="store_true")
+
+    # TPU-specific knobs
+    p.add_argument("--train_samples_per_ray", type=int, default=128)
+    p.add_argument("--infer_samples_per_ray", type=int, default=512)
+    p.add_argument("--eval_interval", type=int, default=50)
+    return p
+
+
+def resolve_workspace(root: str, workspace: str, version_id: int, test: bool) -> str:
+    """results/<name>/version_N auto-versioning (main_nerf.py:105-112)."""
+    workspace_dir = os.path.join(root, workspace)
+    if version_id >= 0:
+        return os.path.join(workspace_dir, f"version_{version_id}")
+    existing = glob.glob(os.path.join(workspace_dir, "version*"))
+    vid = max([0] + [int(x.split("_")[-1]) for x in existing])
+    return os.path.join(workspace_dir, f"version_{(1 - int(test)) + vid}")
+
+
+def main(argv=None):
+    from palettenerf_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    from palettenerf_tpu.config import Config
+    from palettenerf_tpu.data.provider import NeRFDataset
+    from palettenerf_tpu.models.nerf import NeRFSpec
+    from palettenerf_tpu.train.metrics import LPIPSMeter, PSNRMeter, SSIMMeter
+    from palettenerf_tpu.train.trainer import Trainer
+
+    opt = build_parser().parse_args(argv)
+    cfg = Config.from_args(opt)
+    print(cfg)
+
+    np.random.seed(cfg.seed)
+
+    spec = NeRFSpec.build(bound=cfg.bound, bg_radius=cfg.bg_radius)
+    workspace = resolve_workspace("results", cfg.workspace, cfg.version_id, cfg.test)
+
+    if cfg.test:
+        metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
+        trainer = Trainer("ngp", cfg, spec, workspace=workspace, metrics=metrics,
+                          use_checkpoint=cfg.ckpt)
+        test_ds = NeRFDataset(cfg, type="test")
+        if test_ds.has_gt:
+            trainer.evaluate_one_epoch(test_ds)
+        trainer.test(test_ds, write_video=True)
+    else:
+        train_ds = NeRFDataset(cfg, type="train")
+        valid_ds = NeRFDataset(cfg, type="val", downscale=1)
+        metrics = [PSNRMeter(), LPIPSMeter()]
+        trainer = Trainer("ngp", cfg, spec, workspace=workspace, metrics=metrics,
+                          use_checkpoint=cfg.ckpt, ema_decay=0.95,
+                          eval_interval=cfg.eval_interval)
+        max_epoch = int(np.ceil(cfg.iters / len(train_ds)))
+        trainer.train(train_ds, valid_ds, max_epoch)
+
+        test_ds = NeRFDataset(cfg, type="test")
+        if test_ds.has_gt:
+            trainer.evaluate_one_epoch(test_ds)
+        trainer.test(test_ds, write_video=True)
+
+
+if __name__ == "__main__":
+    main()

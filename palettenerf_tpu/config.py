@@ -79,21 +79,24 @@ class Config:
     lambda_sparse: float = 0.05
     filter_close_point: bool = False
 
-    # ---- palette-stage options (main_palette.py:71-101) ----
-    nerf_workspace: str = ""
-    nerf_version_id: int = -1
+    # ---- palette-stage options (main_palette.py:16-101) ----
+    nerf_path: str = ""
+    config: str = ""
     extract_palette: bool = False
     video: bool = False
-    use_initialization_from_rgbxy: bool = True
-    num_basis: int = 6
+    continue_training: bool = False
+    update_grid: bool = False
+    datatype: str = ""  # llff | blender | mip360 (test-view generation)
+    use_initialization_from_rgbxy: bool = False
+    num_basis: int = 4
     error_thres: float = 5.0 / 255.0
-    use_normalized_palette: bool = True
+    use_normalized_palette: bool = False
 
     pred_clip: bool = False
     clip_dim: int = 16
     # latent-bug fixes: declared here (reference reads these but never defines them)
     ablation_name: str = ""
-    sigma_color: float = 0.1
+    sigma_color: float = 0.2
 
     random_size: int = 0  # paired-pixel sampling window for patch smoothness
 
@@ -105,13 +108,13 @@ class Config:
     lambda_weight: float = 5e-2
     lambda_smooth: float = 4e-3
     lambda_patchsmooth: float = 0.0
-    smooth_sigma_xyz: float = 0.1
-    smooth_sigma_color: float = 0.1
-    smooth_sigma_clip: float = 0.1
+    smooth_sigma_xyz: float = 0.005
+    smooth_sigma_color: float = 0.2
+    smooth_sigma_clip: float = 0.0
 
     lweight_decay_epoch: int = 100
-    max_freeze_palette_epoch: int = 50
-    smooth_loss_start_epoch: int = 50
+    max_freeze_palette_epoch: int = 100
+    smooth_loss_start_epoch: int = 30
 
     # ---- TPU-rebuild-specific knobs (no reference analog) ----
     grid_size: int = 128

@@ -1,0 +1,55 @@
+"""Device-mesh sharding helpers: data-parallel over rays.
+
+The reference's distributed backend is torch DDP/NCCL scaffolding that is never actually
+launched multi-GPU (SURVEY.md §2.3; ``nerf/utils.py:381-383,977-992``). The TPU-native
+equivalent is sharding the ray batch across a ``jax.sharding.Mesh`` axis ("dp") with
+replicated parameters: XLA inserts the ``psum`` for the loss/grad all-reduce over ICI —
+the hash tables are tens of MB, so replicated-params + ray-DP is both the faithful and
+the bandwidth-optimal mapping. The eval all_gather of predictions
+(nerf/utils.py:977-992) is likewise just the unsharded jit output.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh; the same
+code paths work with processes x local devices (DCN only carries the input pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard leading (ray) dimension across the dp axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def dp_shard_fn(fn, mesh: Mesh, batch_argnums, *, axis: str = "dp", donate_argnums=()):
+    """jit ``fn`` with ray-batch args sharded over ``axis`` and everything else
+    replicated. XLA handles the cross-device reductions implied by mean-losses."""
+    rep = replicated(mesh)
+    shard = shard_batch(mesh, axis)
+
+    def in_sharding_for(i):
+        return shard if i in batch_argnums else rep
+
+    # We don't know arity statically; rely on jit's per-argument sharding via
+    # the in_shardings pytree prefix at call time instead.
+    def wrapped(*args):
+        in_shardings = tuple(in_sharding_for(i) for i in range(len(args)))
+        return jax.jit(fn, in_shardings=in_shardings, donate_argnums=donate_argnums)(*args)
+
+    return wrapped

@@ -1,0 +1,421 @@
+"""Stage-1 NeRF trainer: jitted train/eval steps, EMA, schedules, checkpoints, logging.
+
+Functional re-design of the reference ``Trainer`` (``nerf/utils.py:332-1205``):
+- Adam(betas=(0.9, 0.99), eps=1e-15) with lr decay ``0.1**(step/iters)`` applied every
+  step (main_nerf.py:143-151) — via optax.
+- EMA of parameters with decay 0.95 (``ExponentialMovingAverage`` in the reference).
+- Density-grid refresh every ``update_extra_interval`` steps (nerf/utils.py:883-885),
+  frustum culling of never-seen cells at train start (:662-663).
+- Random per-pixel background compositing for RGBA gt (:514-525), loss =
+  MSE + lambda_sparse * rgb_norm (:535-536), error-map EMA update (:556-578).
+- Rolling checkpoints + best-checkpoint with EMA weights, autoload policies
+  (:442-460, :1083-1205).
+
+The whole train step (render + loss + backward + optimizer + EMA) is ONE jitted XLA
+program; the only host work per step is pixel sampling and the H2D ray upload. bf16
+compute is applied inside the MLPs when ``cfg.fp16`` (AMP equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.nerf import NeRFSpec, init_nerf, nerf_density
+from ..ops.occupancy import GridState, init_grid_state, mark_untrained_grid, update_density_grid
+from ..render.nerf_renderer import RenderSettings, render_nerf_eval, render_nerf_train
+from ..utils.color import srgb_to_linear
+from . import checkpoint as ckpt_lib
+from .metrics import PSNRMeter
+
+
+class Trainer:
+    """NeRF trainer. ``opt`` is a Config; model state = (spec, params)."""
+
+    def __init__(
+        self,
+        name: str,
+        opt: Config,
+        spec: NeRFSpec,
+        params=None,
+        workspace: str = "workspace",
+        metrics=None,
+        use_checkpoint: str = "latest",
+        ema_decay: Optional[float] = 0.95,
+        eval_interval: int = 50,
+        max_keep_ckpt: int = 2,
+        mute: bool = False,
+    ):
+        import optax
+
+        self.name = name
+        self.opt = opt
+        self.spec = spec
+        self.workspace = workspace
+        self.metrics = metrics if metrics is not None else [PSNRMeter()]
+        self.ema_decay = ema_decay
+        self.eval_interval = eval_interval
+        self.max_keep_ckpt = max_keep_ckpt
+        self.mute = mute
+
+        self.epoch = 0
+        self.global_step = 0
+        self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
+
+        os.makedirs(workspace, exist_ok=True)
+        self.ckpt_path = os.path.join(workspace, "checkpoints")
+        os.makedirs(self.ckpt_path, exist_ok=True)
+        self.best_path = os.path.join(self.ckpt_path, f"{name}.ckpt")
+        self.log_path = os.path.join(workspace, f"log_{name}.txt")
+
+        self.key = jax.random.PRNGKey(opt.seed)
+        if params is None:
+            self.key, k = jax.random.split(self.key)
+            params = init_nerf(k, spec)
+        self.params = params
+        self.ema_params = jax.tree_util.tree_map(jnp.array, params)
+
+        cascade = spec_cascade(spec)
+        self.grid_state = init_grid_state(cascade, opt.grid_size)
+
+        self.train_settings = RenderSettings(
+            bound=spec.bound, cascade=cascade, grid_size=opt.grid_size,
+            dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+            num_samples=opt.train_samples_per_ray, t_thresh=opt.t_thresh_train,
+            min_near=opt.min_near, bg_radius=spec.bg_radius,
+        )
+        self.eval_settings = RenderSettings(
+            bound=spec.bound, cascade=cascade, grid_size=opt.grid_size,
+            dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
+            num_samples=opt.infer_samples_per_ray, t_thresh=opt.t_thresh_infer,
+            min_near=opt.min_near, bg_radius=spec.bg_radius,
+        )
+
+        # optimizer: Adam + per-step 0.1^(t/T) decay (main_nerf.py:141-151)
+        lr_fn = lambda step: opt.lr * (0.1 ** jnp.minimum(step / opt.iters, 1.0))
+        self.tx = optax.adam(learning_rate=lr_fn, b1=0.9, b2=0.99, eps=1e-15)
+        self.opt_state = self.tx.init(self.params)
+
+        self._build_jit_fns()
+
+        self.log(f"[INFO] Trainer: {name} | {workspace} | "
+                 f"{sum(x.size for x in jax.tree_util.tree_leaves(params))} params")
+
+        if use_checkpoint == "scratch":
+            self.log("[INFO] Training from scratch ...")
+        elif use_checkpoint in ("latest", "latest_model"):
+            self.load_checkpoint(model_only=use_checkpoint == "latest_model")
+        elif use_checkpoint == "best":
+            if os.path.exists(self.best_path):
+                self.load_checkpoint(self.best_path)
+            else:
+                self.load_checkpoint()
+        else:
+            self.load_checkpoint(use_checkpoint)
+
+    # ------------------------------------------------------------------ jit fns
+
+    def _build_jit_fns(self):
+        spec = self.spec
+        opt = self.opt
+        tset = self.train_settings
+        eset = self.eval_settings
+        decay = self.ema_decay
+
+        def train_step(params, opt_state, ema, bitfield, key, rays_o, rays_d, images):
+            k_bg, k_pt = jax.random.split(key)
+            c = images.shape[-1]
+            img = images
+            if opt.color_space == "linear":
+                img = img.at[..., :3].set(srgb_to_linear(img[..., :3]))
+            if c == 4 and spec.bg_radius <= 0 and not opt.no_bg:
+                bg = jax.random.uniform(k_bg, (img.shape[0], 3))
+                gt = img[..., :3] * img[..., 3:] + bg * (1.0 - img[..., 3:])
+            else:
+                bg = jnp.ones((3,), jnp.float32)
+                gt = img[..., :3]
+
+            def loss_fn(p):
+                out = render_nerf_train(
+                    p, spec, bitfield, rays_o, rays_d, k_pt, tset,
+                    bg_color=bg, rays_gt=gt, perturb=True,
+                )
+                per_ray = ((out["image"] - gt) ** 2).mean(-1)
+                per_ray = per_ray + out["rgb_norm"] * opt.lambda_sparse
+                return per_ray.mean(), per_ray
+
+            (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            if decay is not None:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * decay + p * (1.0 - decay), ema, params
+                )
+            return params, opt_state, ema, loss, per_ray
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+        def density_fn(params, pts):
+            # chunked to bound peak memory (2M grid points per refresh)
+            chunks = pts.reshape(64, -1, 3)
+            return jax.lax.map(
+                lambda c: nerf_density(params, spec, c)["sigma"], chunks
+            ).reshape(-1)
+
+        def update_grid(params, grid_state, key):
+            return update_density_grid(
+                grid_state, partial(density_fn, params), key,
+                bound=spec.bound, density_thresh=opt.density_thresh,
+                grid_size=opt.grid_size,
+            )
+
+        self._update_grid = jax.jit(update_grid, donate_argnums=(1,))
+
+        def eval_chunk(params, bitfield, rays_o, rays_d, bg_color):
+            return render_nerf_eval(params, spec, bitfield, rays_o, rays_d, eset, bg_color)
+
+        self._eval_chunk = jax.jit(eval_chunk)
+
+        def mark(grid_state, poses, intrinsics):
+            return mark_untrained_grid(
+                grid_state, poses, intrinsics, spec.bound, opt.min_near,
+                opt.filter_close_point, opt.grid_size,
+            )
+
+        self._mark_untrained = jax.jit(mark, static_argnums=(2,))
+
+    # ------------------------------------------------------------------ logging
+
+    def log(self, *args):
+        msg = " ".join(str(a) for a in args)
+        if not self.mute:
+            print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    # ------------------------------------------------------------------ training
+
+    def eval_params(self):
+        return self.ema_params if self.ema_decay is not None else self.params
+
+    def train(self, train_ds, valid_ds=None, max_epochs: int = 1):
+        # frustum-cull never-seen cells once at start (nerf/utils.py:662-663)
+        self.grid_state = self._mark_untrained(
+            self.grid_state, jnp.asarray(train_ds.poses),
+            tuple(float(v) for v in train_ds.intrinsics),
+        )
+        for _ in range(max_epochs - self.epoch):
+            self.epoch += 1
+            self.train_one_epoch(train_ds)
+            self.save_checkpoint(best=False)
+            if valid_ds is not None and self.epoch % self.eval_interval == 0:
+                self.evaluate_one_epoch(valid_ds)
+                self.save_checkpoint(best=True)
+        return self.stats
+
+    def train_one_epoch(self, train_ds):
+        t0 = time.time()
+        total_loss, steps = 0.0, 0
+        for data in train_ds.iter_epoch():
+            if self.global_step % self.opt.update_extra_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                self.grid_state = self._update_grid(self.params, self.grid_state, k)
+
+            self.key, k = jax.random.split(self.key)
+            images = jnp.asarray(data["images"])
+            self.params, self.opt_state, self.ema_params, loss, per_ray = self._train_step(
+                self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
+                k, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]), images,
+            )
+            self.global_step += 1
+            steps += 1
+            total_loss += float(loss)
+
+            if "inds_coarse" in data:
+                train_ds.update_error_map(
+                    data["index"], data["inds_coarse"], np.asarray(per_ray)
+                )
+        avg = total_loss / max(steps, 1)
+        self.stats["loss"].append(avg)
+        self.log(f"[epoch {self.epoch}] loss={avg:.6f} "
+                 f"({steps} steps, {time.time()-t0:.1f}s, step={self.global_step})")
+
+    # ------------------------------------------------------------------ eval / test
+
+    def render_image(self, rays_o, rays_d, bg_color=None, chunk: int = 16384):
+        """Staged full-frame render with a fixed jit chunk size (pad last chunk)."""
+        n = rays_o.shape[0]
+        outs = []
+        bg = jnp.ones((3,), jnp.float32) if bg_color is None else jnp.asarray(bg_color)
+        params = self.eval_params()
+        for start in range(0, n, chunk):
+            ro = rays_o[start:start + chunk]
+            rd = rays_d[start:start + chunk]
+            pad = chunk - ro.shape[0]
+            if pad:
+                ro = np.concatenate([ro, np.tile(ro[-1:], (pad, 1))], 0)
+                rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))], 0)
+            out = self._eval_chunk(params, self.grid_state.bitfield,
+                                   jnp.asarray(ro), jnp.asarray(rd), bg)
+            outs.append({k: np.asarray(v)[: chunk - pad if pad else chunk] for k, v in out.items()})
+        return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    def eval_step_full(self, data, bg_color=None):
+        out = self.render_image(data["rays_o"], data["rays_d"], bg_color)
+        H, W = data["H"], data["W"]
+        return {k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()}
+
+    def evaluate_one_epoch(self, valid_ds, save_images: bool = True):
+        for m in self.metrics:
+            m.clear()
+        total_loss, n = 0.0, 0
+        for i, data in enumerate(valid_ds.iter_epoch()):
+            out = self.eval_step_full(data)
+            pred = out["image"]
+            img = data.get("images")
+            if img is not None:
+                gt = img[..., :3]
+                if img.shape[-1] == 4:
+                    gt = img[..., :3] * img[..., 3:] + 1.0 * (1 - img[..., 3:])
+                if self.opt.color_space == "linear":
+                    gt = np.asarray(srgb_to_linear(jnp.asarray(gt)))
+                total_loss += float(((pred - gt) ** 2).mean())
+                n += 1
+                for m in self.metrics:
+                    if not getattr(m, "basis_metric", False):
+                        m.update(pred[None], gt[None])
+            if save_images:
+                self._save_image(
+                    os.path.join(self.workspace, "validation",
+                                 f"{self.name}_ep{self.epoch:04d}_{i:04d}.png"),
+                    pred,
+                )
+        result = self.metrics[0].measure() if n else 0.0
+        self.stats["results"].append(result)
+        if self.stats["best_result"] is None or result > self.stats["best_result"]:
+            self.stats["best_result"] = result
+        self.log(f"[eval epoch {self.epoch}] loss={total_loss/max(n,1):.6f} | "
+                 + " | ".join(m.report() for m in self.metrics))
+        return result
+
+    def test(self, test_ds, save_path=None, name=None, write_video: bool = True):
+        """Render the test split; save pngs and (optionally) an mp4 (nerf/utils.py:689-742)."""
+        save_path = save_path or os.path.join(self.workspace, "results")
+        name = name or f"{self.name}_ep{self.epoch:04d}"
+        os.makedirs(save_path, exist_ok=True)
+        frames, depths = [], []
+        t0 = time.time()
+        for i, data in enumerate(test_ds.iter_epoch()):
+            out = self.eval_step_full(data)
+            frames.append((np.clip(out["image"], 0, 1) * 255).astype(np.uint8))
+            d = out["depth"]
+            depths.append((np.clip(d, 0, 1) * 255).astype(np.uint8))
+            self._save_image(os.path.join(save_path, f"{name}_{i:04d}_rgb.png"), out["image"])
+        dt = time.time() - t0
+        self.log(f"[test] {len(frames)} frames, total {dt:.2f}s, avg {dt/max(len(frames),1):.3f}s/frame")
+        if write_video and frames:
+            self._write_video(os.path.join(save_path, f"{name}_rgb.mp4"), frames)
+            self._write_video(os.path.join(save_path, f"{name}_depth.mp4"),
+                              [np.repeat(d[..., None], 3, -1) for d in depths])
+        return frames
+
+    def _write_video(self, path: str, frames, fps: int = 25):
+        """mp4 via cv2 (no ffmpeg binary in minimal envs), imageio fallback."""
+        try:
+            import cv2
+
+            h, w = frames[0].shape[:2]
+            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            if vw.isOpened():
+                for f in frames:
+                    vw.write(cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_RGB2BGR))
+                vw.release()
+                return
+        except Exception:
+            pass
+        try:
+            import imageio
+
+            imageio.mimwrite(path, np.stack(frames), fps=fps, quality=8, macro_block_size=1)
+        except Exception as e:
+            self.log(f"[WARN] video write failed: {e}")
+
+    def _save_image(self, path, img01):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            import cv2
+
+            arr = (np.clip(img01, 0, 1) * 255).astype(np.uint8)
+            if arr.ndim == 3 and arr.shape[-1] == 3:
+                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
+            cv2.imwrite(path, arr)
+        except Exception as e:
+            self.log(f"[WARN] image write failed: {e}")
+
+    # ------------------------------------------------------------------ checkpoints
+
+    def _ckpt_state(self):
+        return {
+            "ema_params": self.ema_params,
+            "grid_state": self.grid_state._asdict(),
+            "stats": self.stats,
+        }
+
+    def save_checkpoint(self, best: bool = False):
+        if best:
+            # best ckpt stores EMA weights and drops the density grid (nerf/utils.py:1134-1136)
+            state = {"stats": self.stats}
+            ckpt_lib.save_checkpoint(
+                self.ckpt_path, self.name, self.epoch, self.global_step,
+                self.eval_params(), state, self.max_keep_ckpt, best=True,
+            )
+        else:
+            ckpt_lib.save_checkpoint(
+                self.ckpt_path, self.name, self.epoch, self.global_step,
+                self.params, self._ckpt_state(), self.max_keep_ckpt, best=False,
+            )
+
+    def load_checkpoint(self, path: Optional[str] = None, model_only: bool = False):
+        if path is None:
+            path = ckpt_lib.latest_checkpoint(self.ckpt_path, self.name)
+            if path is None:
+                self.log("[INFO] no checkpoint found, starting fresh")
+                return
+        data = ckpt_lib.load_checkpoint(path)
+        merged, missing, _ = ckpt_lib.merge_params_non_strict(self.params, data["params"])
+        self.params = jax.tree_util.tree_map(jnp.asarray, merged)
+        if missing:
+            self.log(f"[WARN] missing params in ckpt: {missing[:5]}...")
+        if model_only:
+            self.log(f"[INFO] loaded model from {path}")
+            return
+        self.epoch = data.get("epoch", 0)
+        self.global_step = data.get("global_step", 0)
+        self.stats = data.get("stats", self.stats)
+        if "ema_params" in data:
+            merged, _, _ = ckpt_lib.merge_params_non_strict(self.ema_params, data["ema_params"])
+            self.ema_params = jax.tree_util.tree_map(jnp.asarray, merged)
+        else:
+            self.ema_params = jax.tree_util.tree_map(jnp.array, self.params)
+        if "grid_state" in data:
+            gs = data["grid_state"]
+            self.grid_state = GridState(
+                jnp.asarray(gs["density_grid"]), jnp.asarray(gs["bitfield"]),
+                jnp.asarray(gs["mean_density"]), jnp.asarray(gs["iter_density"]),
+            )
+        self.log(f"[INFO] loaded checkpoint {path} (epoch {self.epoch}, step {self.global_step})")
+
+
+def spec_cascade(spec: NeRFSpec) -> int:
+    import math
+
+    return 1 + max(0, math.ceil(math.log2(spec.bound)))
