@@ -37,6 +37,9 @@ def build_scene(bound=1.0, occupancy_radius=0.5):
     settings = RenderSettings(
         bound=bound, cascade=1, grid_size=H, dt_gamma=0.0,
         max_steps=512, num_samples=64, t_thresh=1e-2, min_near=0.2,
+        # alive-ray compaction: all rays get 16 samples, top 1/4 continue for 16,
+        # top 1/16 finish with 32 (static analog of the reference's alive-ray loop)
+        compaction_rounds=((1, 16), (4, 16), (16, 32)),
     )
     return spec, params, bitfield, settings
 
@@ -70,23 +73,22 @@ def main():
     @jax.jit
     def render_chunk(params, bitfield, ro, rd):
         out = render_nerf_eval(params, spec, bitfield, ro, rd, settings)
-        return out["image"], out["depth"]
+        return out["image"], out["depth"], out["image"].sum()
 
     ro_d = jnp.asarray(ro).reshape(n_chunks, chunk, 3)
     rd_d = jnp.asarray(rd).reshape(n_chunks, chunk, 3)
 
-    # warmup / compile
-    img, dep = render_chunk(params, bitfield, ro_d[0], rd_d[0])
-    img.block_until_ready()
+    # warmup / compile (scalar readback is the only reliable sync on tunneled platforms:
+    # block_until_ready can return before remote execution completes)
+    img, dep, s = render_chunk(params, bitfield, ro_d[0], rd_d[0])
+    _ = float(s)
 
-    n_frames = 5
+    n_frames = 2
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        imgs = []
         for c in range(n_chunks):
-            img, dep = render_chunk(params, bitfield, ro_d[c], rd_d[c])
-            imgs.append(img)
-        imgs[-1].block_until_ready()
+            img, dep, s = render_chunk(params, bitfield, ro_d[c], rd_d[c])
+        _ = float(s)  # host readback forces full completion of the frame
     dt = (time.perf_counter() - t0) / n_frames
 
     fps = 1.0 / dt

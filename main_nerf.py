@@ -64,9 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter_close_point", action="store_true")
 
     # TPU-specific knobs
-    p.add_argument("--train_samples_per_ray", type=int, default=128)
-    p.add_argument("--infer_samples_per_ray", type=int, default=512)
+    p.add_argument("--train_samples_per_ray", type=int, default=64)
+    p.add_argument("--infer_samples_per_ray", type=int, default=256)
     p.add_argument("--eval_interval", type=int, default=50)
+    p.add_argument("--log2_hashmap_size", type=int, default=19)
+    p.add_argument("--grid_levels", type=int, default=16)
+    p.add_argument("--grid_level_dim", type=int, default=2)
+    p.add_argument("--grid_update_warmup", type=int, default=256)
     return p
 
 
@@ -97,7 +101,11 @@ def main(argv=None):
 
     np.random.seed(cfg.seed)
 
-    spec = NeRFSpec.build(bound=cfg.bound, bg_radius=cfg.bg_radius)
+    spec = NeRFSpec.build(
+        bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=cfg.fp16_enabled,
+        log2_hashmap_size=cfg.log2_hashmap_size, grid_levels=cfg.grid_levels,
+        grid_level_dim=cfg.grid_level_dim,
+    )
     workspace = resolve_workspace("results", cfg.workspace, cfg.version_id, cfg.test)
 
     if cfg.test:

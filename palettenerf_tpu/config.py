@@ -118,8 +118,12 @@ class Config:
 
     # ---- TPU-rebuild-specific knobs (no reference analog) ----
     grid_size: int = 128
-    train_samples_per_ray: int = 128   # S: compacted sample slots per ray (train)
-    infer_samples_per_ray: int = 512   # S: compacted sample slots per ray (eval)
+    train_samples_per_ray: int = 64    # S: compacted sample slots per ray (train)
+    infer_samples_per_ray: int = 256   # S: compacted sample slots per ray (eval)
+    log2_hashmap_size: int = 19        # per-level hash table size (reference default 19)
+    grid_levels: int = 16              # hash-grid levels (reference default 16)
+    grid_level_dim: int = 2            # features per level (reference default 2)
+    grid_update_warmup: int = 256      # full-grid refreshes until this step, partial after
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activation import trunc_exp
-from ..ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_encode_bounded, init_hashgrid
+from ..ops.hashgrid import HashGridSpec, init_hashgrid
+from ..ops.hashgrid_fast import (
+    hashgrid_encode_fast as hashgrid_encode,
+    hashgrid_encode_fast_bounded as hashgrid_encode_bounded,
+)
 from ..ops.sh import sh_encode
 from .mlp import apply_mlp, init_mlp
 
@@ -39,12 +43,18 @@ class NeRFSpec:
     hidden_dim_bg: int = 64
     sh_degree: int = 4
     bg_radius: float = -1.0
+    fp16: bool = False  # bf16 hash-table compute (AMP analog; halves the scatter matmul)
     grid: HashGridSpec = None  # type: ignore[assignment]
     grid_bg: Optional[HashGridSpec] = None
 
     @classmethod
-    def build(cls, bound: float = 1.0, bg_radius: float = -1.0, **kw) -> "NeRFSpec":
-        grid = HashGridSpec.build(desired_resolution=2048 * bound)
+    def build(cls, bound: float = 1.0, bg_radius: float = -1.0,
+              log2_hashmap_size: int = 19, grid_levels: int = 16,
+              grid_level_dim: int = 2, **kw) -> "NeRFSpec":
+        grid = HashGridSpec.build(
+            desired_resolution=2048 * bound, num_levels=grid_levels,
+            level_dim=grid_level_dim, log2_hashmap_size=log2_hashmap_size,
+        )
         grid_bg = (
             HashGridSpec.build(input_dim=2, num_levels=4, desired_resolution=2048)
             if bg_radius > 0
@@ -55,6 +65,10 @@ class NeRFSpec:
     @property
     def sh_dim(self) -> int:
         return self.sh_degree ** 2
+
+    @property
+    def table_dtype(self):
+        return jnp.bfloat16 if self.fp16 else jnp.float32
 
 
 def _mlp_dims(in_dim, hidden, out_dim, num_layers):
@@ -92,7 +106,8 @@ def init_nerf(key, spec: NeRFSpec, dtype=jnp.float32):
 
 def nerf_density(params, spec: NeRFSpec, x):
     """x [..., 3] in [-bound, bound] -> dict(sigma [...], geo_feat [..., 15])."""
-    h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound)
+    table = params["encoder"].astype(spec.table_dtype)
+    h = hashgrid_encode_bounded(table, x, spec.grid, spec.bound).astype(jnp.float32)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}

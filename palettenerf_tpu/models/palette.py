@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activation import trunc_exp
-from ..ops.hashgrid import HashGridSpec, hashgrid_encode, hashgrid_encode_bounded, init_hashgrid
+from ..ops.hashgrid import HashGridSpec, init_hashgrid
+from ..ops.hashgrid_fast import (
+    hashgrid_encode_fast as hashgrid_encode,
+    hashgrid_encode_fast_bounded as hashgrid_encode_bounded,
+)
 from ..ops.sh import sh_encode
 from ..utils.color import srgb_to_linear
 from .mlp import apply_mlp, init_mlp
@@ -61,11 +65,17 @@ class PaletteSpec:
     grid: HashGridSpec = None  # type: ignore[assignment]
     grid_bg: Optional[HashGridSpec] = None
 
+    fp16: bool = False
+
     @classmethod
     def build(cls, bound: float = 1.0, bg_radius: float = -1.0, num_basis: int = 4,
               pred_clip: bool = False, clip_dim: int = 16, color_space: str = "srgb",
-              **kw) -> "PaletteSpec":
-        grid = HashGridSpec.build(desired_resolution=2048 * bound)
+              log2_hashmap_size: int = 19, grid_levels: int = 16,
+              grid_level_dim: int = 2, **kw) -> "PaletteSpec":
+        grid = HashGridSpec.build(
+            desired_resolution=2048 * bound, num_levels=grid_levels,
+            level_dim=grid_level_dim, log2_hashmap_size=log2_hashmap_size,
+        )
         grid_bg = (
             HashGridSpec.build(input_dim=2, num_levels=4, desired_resolution=2048)
             if bg_radius > 0 else None
@@ -73,6 +83,10 @@ class PaletteSpec:
         return cls(bound=bound, bg_radius=bg_radius, num_basis=num_basis,
                    pred_clip=pred_clip, clip_dim=clip_dim, color_space=color_space,
                    grid=grid, grid_bg=grid_bg, **kw)
+
+    @property
+    def table_dtype(self):
+        return jnp.bfloat16 if self.fp16 else jnp.float32
 
     @property
     def sh_dim(self) -> int:
@@ -150,7 +164,8 @@ def initialize_palette(params, spec: PaletteSpec, color_list=None, hist_weights=
 
 
 def palette_density(params, spec: PaletteSpec, x):
-    h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound)
+    table = params["encoder"].astype(spec.table_dtype)
+    h = hashgrid_encode_bounded(table, x, spec.grid, spec.bound).astype(jnp.float32)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
@@ -170,7 +185,9 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat):
         params["color_net"], jnp.concatenate([de, geo], -1), final_activation=jax.nn.sigmoid
     )
 
-    hp = hashgrid_encode_bounded(params["encoder_palette"], x, spec.grid, spec.bound)
+    hp = hashgrid_encode_bounded(
+        params["encoder_palette"].astype(spec.table_dtype), x, spec.grid, spec.bound
+    ).astype(jnp.float32)
     hp = jnp.concatenate([hp, jax.lax.stop_gradient(diffuse)], -1)
     palette_feat = apply_mlp(params["basis_net"], hp, activation=jax.nn.elu)
 
@@ -190,7 +207,9 @@ def palette_forward(params, spec: PaletteSpec, x, d):
     sigma = dens["sigma"]
 
     if spec.pred_clip:
-        hc = hashgrid_encode_bounded(params["encoder_clip"], x, spec.grid, spec.bound)
+        hc = hashgrid_encode_bounded(
+            params["encoder_clip"].astype(spec.table_dtype), x, spec.grid, spec.bound
+        ).astype(jnp.float32)
         clip_feat = apply_mlp(params["clip_net"], hc)
     else:
         clip_feat = jnp.zeros(x.shape[:-1] + (spec.clip_dim,), sigma.dtype)

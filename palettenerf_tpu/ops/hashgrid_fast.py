@@ -1,0 +1,162 @@
+"""TPU-optimized multiresolution hash encoding (custom-VJP formulation).
+
+Same math as ``ops.hashgrid`` (the golden reference; construction rules parity-exact
+with gridencoder/grid.py:92-133 and gridencoder.cu:36-72), but structured around the
+measured cost model of XLA's TPU gather/scatter lowering:
+
+- gather cost   ~ O(rows fetched)            (~200M rows/s, width-independent)
+- scatter cost  ~ O(updates x table_rows)    (lowered as an implicit one-hot matmul on
+                                              the MXU; bf16 cotangents nearly double it)
+
+Consequences baked into this implementation:
+1. Corner indices/weights for ALL levels are computed once, into a single global index
+   array; the forward is ONE flat gather (no per-level dynamic_slice copies).
+2. The backward is hand-written (custom VJP): per-level scatters into each level's own
+   sub-table (cost M_l x T_l each, instead of one O(M x T_total) scatter), expressed as
+   vjp-of-gather (measured 2x faster than ``.at[idx].add``), with cotangents cast to the
+   table dtype first (bf16 tables halve the scatter matmul cost, mirroring the
+   reference's fp16 atomicAdd accumulation, gridencoder.cu:226-313).
+3. No input gradients (the reference's default ``calc_grad_inputs=False``; positions are
+   never a function of parameters in this pipeline).
+
+Verified against ``ops.hashgrid.hashgrid_encode`` in tests/test_hashgrid_fast.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .hashgrid import HashGridSpec, _PRIMES
+
+
+def _level_indices(spec: HashGridSpec, lvl: int, x):
+    """Global corner indices + interpolation weights for one level.
+
+    x: [M, D] in [0,1]. Returns (idx [M, 2^D] int32 GLOBAL indices, w [M, 2^D] f32).
+    """
+    D = spec.input_dim
+    hashmap_size = spec.offsets[lvl + 1] - spec.offsets[lvl]
+    res = spec.resolutions[lvl]
+    side = res if spec.align_corners else res + 1
+    scale = spec.level_scale(lvl)
+
+    pos = x * scale + (0.0 if spec.align_corners else 0.5)
+    pg0 = jnp.floor(pos)
+    frac = pos - pg0
+    pg0 = pg0.astype(jnp.int32)
+
+    # which stride-dims fit before the hash kicks in (gridencoder.cu:55-72)
+    strides = []
+    s = 1
+    for _ in range(D):
+        strides.append(s if s <= hashmap_size else None)
+        s *= side
+    overflow = s > hashmap_size  # (after full loop) -> hash for gridtype 'hash'
+
+    idxs, ws = [], []
+    for corner in range(2 ** D):
+        bits = [(corner >> d) & 1 for d in range(D)]
+        pg = (pg0 + jnp.array(bits, jnp.int32)).astype(jnp.uint32)
+        w = jnp.ones(x.shape[:-1], jnp.float32)
+        for d in range(D):
+            w = w * jnp.where(bits[d], frac[..., d], 1.0 - frac[..., d])
+        if overflow and spec.gridtype == "hash":
+            h = jnp.zeros(x.shape[:-1], jnp.uint32)
+            for d in range(D):
+                h = h ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        else:
+            h = jnp.zeros(x.shape[:-1], jnp.uint32)
+            for d in range(D):
+                if strides[d] is not None:
+                    h = h + pg[..., d] * jnp.uint32(strides[d])
+        idx = (h % jnp.uint32(hashmap_size)).astype(jnp.int32) + spec.offsets[lvl]
+        idxs.append(idx)
+        ws.append(w)
+    return jnp.stack(idxs, -1), jnp.stack(ws, -1)
+
+
+def _all_indices(spec: HashGridSpec, x01):
+    """[M, L*2^D] global indices and weights for all levels."""
+    idxs, ws = [], []
+    for lvl in range(spec.num_levels):
+        i, w = _level_indices(spec, lvl, x01)
+        idxs.append(i)
+        ws.append(w)
+    return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode_fast(table, x01, spec: HashGridSpec):
+    """table [total, C]; x01 [..., D] in [0,1] -> [..., L*C].
+
+    Output matches ops.hashgrid.hashgrid_encode bit-for-bit in f32.
+    """
+    out, _ = _fwd_impl(table, x01, spec)
+    return out
+
+
+def _fwd_impl(table, x01, spec: HashGridSpec):
+    D = spec.input_dim
+    C = spec.level_dim
+    L = spec.num_levels
+    K = 2 ** D
+    lead = x01.shape[:-1]
+    x = x01.reshape(-1, D).astype(jnp.float32)
+    M = x.shape[0]
+
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    idx, w = _all_indices(spec, x)                      # [M, L*K]
+    feats = table[idx.reshape(-1)].reshape(M, L * K, C)  # single flat gather
+    fw = feats * w[..., None].astype(table.dtype)        # [M, L*K, C]
+    # corner-sum via a tiny matmul instead of a [M, L, K, C] reshape — 4D arrays with
+    # small minor dims trigger catastrophic tile padding in TPU layouts
+    reduce = jnp.zeros((L * K, L), fw.dtype)
+    lvl_of = jnp.repeat(jnp.arange(L), K)
+    reduce = reduce.at[jnp.arange(L * K), lvl_of].set(1)
+    out = jnp.einsum("mkc,kl->mlc", fw, reduce)          # [M, L, C]
+    out = out.reshape(M, L * C)
+    out = jnp.where(oob[:, None], 0, out).reshape(*lead, L * C)
+    return out, (idx, w, oob, lead)
+
+
+def _fwd(table, x01, spec: HashGridSpec):
+    out, res = _fwd_impl(table, x01, spec)
+    dtype_token = jnp.zeros((0,), table.dtype)  # residuals must be arrays
+    return out, (res, dtype_token)
+
+
+def _bwd(spec: HashGridSpec, saved, g):
+    (idx, w, oob, lead), dtype_token = saved
+    tdtype = dtype_token.dtype
+    D, C, L = spec.input_dim, spec.level_dim, spec.num_levels
+    K = 2 ** D
+    M = idx.shape[0]
+
+    g = g.reshape(M, L * C)
+    g = jnp.where(oob[:, None], 0, g)
+
+    grads = []
+    for lvl in range(L):
+        lo, hi = spec.offsets[lvl], spec.offsets[lvl + 1]
+        idx_l = idx[:, lvl * K:(lvl + 1) * K].reshape(-1) - lo          # [M*K]
+        w_l = w[:, lvl * K:(lvl + 1) * K].reshape(-1, 1)                # [M*K, 1]
+        g_l = g[:, lvl * C:(lvl + 1) * C]                               # [M, C]
+        gw_l = (jnp.repeat(g_l, K, axis=0) * w_l.astype(g.dtype)).astype(tdtype)
+        # vjp-of-gather: measured ~2x faster than zeros.at[idx].add on TPU
+        sub = jnp.zeros((hi - lo, C), tdtype)
+        _, vjp = jax.vjp(lambda t: t[idx_l], sub)
+        (grad_l,) = vjp(gw_l)
+        grads.append(grad_l)
+    grad_table = jnp.concatenate(grads, 0).astype(tdtype)
+    return grad_table, None
+
+
+hashgrid_encode_fast.defvjp(_fwd, _bwd)
+
+
+def hashgrid_encode_fast_bounded(table, x, spec: HashGridSpec, bound: float):
+    return hashgrid_encode_fast(table, (x + bound) / (2.0 * bound), spec)

@@ -88,24 +88,47 @@ def update_density_grid(
     density_scale: float = 1.0,
     decay: float = 0.95,
     grid_size: int = 128,
+    partial_fraction: int = 1,
+    slab_index=None,
 ) -> GridState:
     """One density-grid refresh (EMA + repack). Jit-friendly; call every 16 steps.
 
-    Queries the density network at every cell center + uniform jitter within the cell
+    Queries the density network at cell centers + uniform jitter within the cell
     (nerf/renderer.py:485-507), EMA-updates ``max(old*decay, new)`` on cells where both
     old and new are >= 0 (``:545-546``), recomputes mean density and repacks the bitfield
     at ``min(mean_density, density_thresh)`` (``:552-553``).
+
+    ``partial_fraction > 1`` refreshes only 1/fraction of the cells (the rotating slab
+    ``slab_index``) — the static-shape analog of the reference's post-warmup partial
+    update (nerf/renderer.py:511-537), cutting refresh cost by the same factor.
     """
     cascade = state.density_grid.shape[0]
+    H3 = grid_size ** 3
     xyz, half = cell_world_coords(cascade, grid_size, bound)  # [CAS,H^3,3], [CAS]
-    noise = jax.random.uniform(key, xyz.shape, minval=-1.0, maxval=1.0)
-    pts = xyz + noise * half[:, None, None]
+
+    if partial_fraction <= 1:
+        sel_xyz = xyz
+    else:
+        q = H3 // partial_fraction
+        start = (slab_index % partial_fraction) * q
+        sel_xyz = jax.lax.dynamic_slice(xyz, (0, start, 0), (cascade, q, 3))
+
+    noise = jax.random.uniform(key, sel_xyz.shape, minval=-1.0, maxval=1.0)
+    pts = sel_xyz + noise * half[:, None, None]
     sigmas = density_fn(pts.reshape(-1, 3)).reshape(cascade, -1) * density_scale
     tmp = sigmas.astype(jnp.float32)
 
     old = state.density_grid
-    valid = old >= 0  # tmp is always >= 0 here (full refresh)
-    new_grid = jnp.where(valid, jnp.maximum(old * decay, tmp), old)
+    if partial_fraction <= 1:
+        valid = old >= 0
+        new_grid = jnp.where(valid, jnp.maximum(old * decay, tmp), old)
+    else:
+        q = H3 // partial_fraction
+        start = (slab_index % partial_fraction) * q
+        old_slab = jax.lax.dynamic_slice(old, (0, start), (cascade, q))
+        new_slab = jnp.where(old_slab >= 0, jnp.maximum(old_slab * decay, tmp), old_slab)
+        new_grid = jax.lax.dynamic_update_slice(old, new_slab, (0, start))
+
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = packbits((new_grid > thresh).reshape(-1))

@@ -46,6 +46,11 @@ class RenderSettings:
     t_thresh: float = 1e-4
     min_near: float = 0.2
     bg_radius: float = -1.0
+    # eval compaction schedule: ((ray_divisor, samples), ...). Round 0 must have
+    # divisor 1. Empty tuple = single fixed-width pass. This is the static-shape
+    # analog of the reference's alive-ray loop (nerf/renderer.py:349-380): most rays
+    # saturate early, so later rounds march only the top 1/divisor surviving rays.
+    compaction_rounds: tuple = ()
 
 
 def _resolve_bg(params, spec: NeRFSpec, rays_o, rays_d, bg_color, settings: RenderSettings):
@@ -116,6 +121,185 @@ def render_nerf_train(
     }
 
 
+def render_nerf_uniform(
+    params,
+    spec: NeRFSpec,
+    rays_o,
+    rays_d,
+    key,
+    settings: RenderSettings,
+    num_steps: int = 128,
+    upsample_steps: int = 128,
+    bg_color=None,
+    perturb: bool = False,
+):
+    """Grid-free uniform + hierarchical-importance render path.
+
+    Port of the reference's pure-PyTorch ``run()`` (nerf/renderer.py:127-255): uniform
+    z-samples in [near, far], optional stratified perturbation, a no-grad density pass
+    driving ``sample_pdf`` importance upsampling, merge+sort, then cumprod compositing
+    (alphas_shifted formulation, :209-211). Depth here is normalized z (:227-228).
+    """
+    from ..models.nerf import nerf_density
+    from ..ops.sampling import sample_pdf
+
+    n = rays_o.shape[0]
+    b = settings.bound
+    aabb = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
+    nears_, fars_ = nears[:, None], fars[:, None]
+
+    z = jnp.linspace(0.0, 1.0, num_steps)[None, :]
+    z_vals = nears_ + (fars_ - nears_) * z
+    sample_dist = (fars_ - nears_) / num_steps
+    if perturb:
+        k1, key = jax.random.split(key)
+        z_vals = z_vals + (jax.random.uniform(k1, z_vals.shape) - 0.5) * sample_dist
+
+    def clip_pts(zv):
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+        return jnp.clip(pts, -b, b)
+
+    xyzs = clip_pts(z_vals)
+    sigmas = nerf_density(params, spec, xyzs.reshape(-1, 3))["sigma"].reshape(n, num_steps)
+
+    if upsample_steps > 0:
+        deltas = jnp.diff(z_vals, axis=-1)
+        deltas = jnp.concatenate([deltas, sample_dist * jnp.ones_like(deltas[..., :1])], -1)
+        alphas = 1.0 - jnp.exp(-deltas * settings.density_scale * jax.lax.stop_gradient(sigmas))
+        shifted = jnp.concatenate([jnp.ones_like(alphas[..., :1]), 1 - alphas + 1e-15], -1)
+        weights = alphas * jnp.cumprod(shifted, -1)[..., :-1]
+        z_mid = z_vals[..., :-1] + 0.5 * deltas[..., :-1]
+        k2, key = jax.random.split(key)
+        new_z = jax.lax.stop_gradient(
+            sample_pdf(k2, z_mid, weights[:, 1:-1], upsample_steps, det=not perturb))
+        z_vals = jnp.sort(jnp.concatenate([z_vals, new_z], -1), -1)
+        xyzs = clip_pts(z_vals)
+        total = num_steps + upsample_steps
+        sigmas = nerf_density(params, spec, xyzs.reshape(-1, 3))["sigma"].reshape(n, total)
+    else:
+        total = num_steps
+
+    deltas = jnp.diff(z_vals, axis=-1)
+    deltas = jnp.concatenate([deltas, sample_dist * jnp.ones_like(deltas[..., :1])], -1)
+    alphas = 1.0 - jnp.exp(-deltas * settings.density_scale * sigmas)
+    shifted = jnp.concatenate([jnp.ones_like(alphas[..., :1]), 1 - alphas + 1e-15], -1)
+    weights = alphas * jnp.cumprod(shifted, -1)[..., :-1]
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    _, rgbs = nerf_forward(params, spec, xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
+    rgbs = rgbs.reshape(n, total, 3)
+
+    ws = weights.sum(-1)
+    ori_z = jnp.clip((z_vals - nears_) / (fars_ - nears_), 0, 1)
+    depth = (weights * ori_z).sum(-1)
+    image = jnp.einsum("ns,nsc->nc", weights, rgbs)
+
+    bg = _resolve_bg(params, spec, rays_o, rays_d, bg_color, settings)
+    image = image + (1.0 - ws)[:, None] * bg
+    return {"image": image, "depth": depth, "weights_sum": ws}
+
+
+def render_nerf_eval_compact(
+    params,
+    spec: NeRFSpec,
+    bitfield,
+    rays_o,
+    rays_d,
+    settings: RenderSettings,
+    bg_color=None,
+):
+    """Eval render with static alive-ray compaction rounds.
+
+    Replaces the reference's host-driven while-loop over alive rays
+    (nerf/renderer.py:336-386) with a FIXED schedule: round 0 marches every ray for a
+    few samples; each later round gathers the top 1/divisor rays by remaining
+    transmittance and continues marching only those, accumulating color via
+    scatter-add. All shapes static; total MLP work drops ~4x vs a single wide pass.
+    """
+    rounds = settings.compaction_rounds
+    assert rounds and rounds[0][0] == 1, "round 0 must cover all rays"
+    n = rays_o.shape[0]
+    aabb = jnp.asarray(
+        [-settings.bound, -settings.bound, -settings.bound,
+         settings.bound, settings.bound, settings.bound], jnp.float32
+    )
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
+    bg = _resolve_bg(params, spec, rays_o, rays_d, bg_color, settings)
+
+    s_total = sum(s for _, s in rounds)
+    m = march_rays(
+        rays_o, rays_d, nears, fars, bitfield,
+        settings.bound, settings.cascade, settings.grid_size,
+        settings.dt_gamma, settings.max_steps, s_total, None,
+    )
+
+    image = jnp.zeros((n, 3), jnp.float32)
+    depth = jnp.zeros((n,), jnp.float32)
+    ws = jnp.zeros((n,), jnp.float32)
+    trans = jnp.ones((n,), jnp.float32)  # remaining transmittance per ray
+
+    offset = 0
+    for divisor, s_r in rounds:
+        n_r = n // divisor
+        if divisor == 1:
+            sel = None
+            xyz = m.xyzs[:, offset:offset + s_r]
+            dts = m.dts[:, offset:offset + s_r]
+            t_cum = m.t_cum[:, offset:offset + s_r]
+            mask = m.mask[:, offset:offset + s_r]
+            rd_r = rays_d
+            t_in = trans
+        else:
+            # rays still alive (transmittance above cutoff AND samples remaining)
+            alive_score = jnp.where(m.mask[:, offset], trans, 0.0)
+            _, sel = jax.lax.top_k(alive_score, n_r)
+            xyz = m.xyzs[sel, offset:offset + s_r]
+            dts = m.dts[sel, offset:offset + s_r]
+            t_cum = m.t_cum[sel, offset:offset + s_r]
+            mask = m.mask[sel, offset:offset + s_r]
+            rd_r = rays_d[sel]
+            t_in = trans[sel]
+
+        dirs = jnp.broadcast_to(rd_r[:, None, :], xyz.shape)
+        sig, rgb = nerf_forward(params, spec, xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+        sig = sig.reshape(n_r, s_r).astype(jnp.float32) * settings.density_scale
+        rgb = rgb.reshape(n_r, s_r, 3).astype(jnp.float32)
+
+        sig = jnp.where(mask, sig, 0.0)
+        alpha = 1.0 - jnp.exp(-sig * dts)
+        t_rel = jnp.cumprod(1.0 - alpha, axis=-1)
+        t_enter = t_in[:, None] * jnp.concatenate(
+            [jnp.ones_like(t_rel[:, :1]), t_rel[:, :-1]], axis=-1)
+        include = t_enter >= settings.t_thresh
+        w = alpha * t_enter * include * mask
+
+        d_img = jnp.einsum("ns,nsc->nc", w, rgb)
+        d_ws = w.sum(-1)
+        d_depth = (w * t_cum).sum(-1)
+        t_out = t_in * t_rel[:, -1]
+
+        if sel is None:
+            image, ws, depth = image + d_img, ws + d_ws, depth + d_depth
+            trans = t_out
+        else:
+            image = image.at[sel].add(d_img)
+            ws = ws.at[sel].add(d_ws)
+            depth = depth.at[sel].add(d_depth)
+            trans = trans.at[sel].set(t_out)
+        offset += s_r
+
+    image = image + (1.0 - ws)[:, None] * bg
+    depth_abs = depth + ws * nears
+    depth_out = jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears)
+    return {
+        "image": image,
+        "depth": depth_out,
+        "depth_origin": depth_abs,
+        "weights_sum": ws,
+    }
+
+
 def render_nerf_eval(
     params,
     spec: NeRFSpec,
@@ -127,6 +311,9 @@ def render_nerf_eval(
 ):
     """Non-differentiable eval render (bigger S, no perturb). Same output dict +
     ``depth_origin`` (raw composited distance, palette/renderer.py:526)."""
+    if settings.compaction_rounds:
+        return render_nerf_eval_compact(
+            params, spec, bitfield, rays_o, rays_d, settings, bg_color)
     n = rays_o.shape[0]
     aabb = jnp.asarray(
         [-settings.bound, -settings.bound, -settings.bound,
@@ -147,10 +334,13 @@ def render_nerf_eval(
 
     ws, depth, image = composite_rays(sigmas, rgbs, m.dts, m.t_cum, m.mask, settings.t_thresh)
     image = image + (1.0 - ws)[:, None] * bg
-    depth_out = jnp.clip(depth - nears, 0.0, None) / (fars - nears)
+    # inference depth is ABSOLUTE in the reference (rays_t starts at nears,
+    # raymarching.cu:1078-1079); t_cum is relative to t0 ~= nears
+    depth_abs = depth + ws * nears
+    depth_out = jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears)
     return {
         "image": image,
         "depth": depth_out,
-        "depth_origin": depth,
+        "depth_origin": depth_abs,
         "weights_sum": ws,
     }

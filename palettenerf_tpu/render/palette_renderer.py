@@ -322,10 +322,11 @@ def render_palette_eval(
     depth = (w * m.t_cum).sum(-1)
     image = composite_channels(w, rgbs.reshape(n, S, 3)) + (1.0 - ws)[:, None] * bg
 
+    depth_abs = depth + ws * nears  # absolute, matching raymarching.cu:1078-1079
     out = {
         "image": image,
-        "depth": jnp.clip(depth - nears, 0.0, None) / (fars - nears),
-        "depth_origin": depth,
+        "depth": jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears),
+        "depth_origin": depth_abs,
         "weights_sum": ws,
         "clip_feat": composite_channels(w, clip_feat.reshape(n, S, -1)),
     }

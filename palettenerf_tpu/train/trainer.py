@@ -180,6 +180,15 @@ class Trainer:
 
         self._update_grid = jax.jit(update_grid, donate_argnums=(1,))
 
+        def update_grid_partial(params, grid_state, key, slab):
+            return update_density_grid(
+                grid_state, partial(density_fn, params), key,
+                bound=spec.bound, density_thresh=opt.density_thresh,
+                grid_size=opt.grid_size, partial_fraction=4, slab_index=slab,
+            )
+
+        self._update_grid_partial = jax.jit(update_grid_partial, donate_argnums=(1,))
+
         def eval_chunk(params, bitfield, rays_o, rays_d, bg_color):
             return render_nerf_eval(params, spec, bitfield, rays_o, rays_d, eset, bg_color)
 
@@ -193,7 +202,112 @@ class Trainer:
 
         self._mark_untrained = jax.jit(mark, static_argnums=(2,))
 
+        # ---- scanned fast path: K train steps per dispatch, rays sampled on device
+        def loss_fn_factory(bitfield, gt, bg, k_pt):
+            def loss_fn(p, rays_o, rays_d):
+                out = render_nerf_train(
+                    p, spec, bitfield, rays_o, rays_d, k_pt, tset,
+                    bg_color=bg, rays_gt=gt, perturb=True,
+                )
+                per_ray = ((out["image"] - gt) ** 2).mean(-1)
+                per_ray = per_ray + out["rgb_norm"] * opt.lambda_sparse
+                return per_ray.mean(), per_ray
+
+            return loss_fn
+
+        def scan_steps(params, opt_state, ema, bitfield, key, images, poses,
+                       img_idx, intrinsics, H, W):
+            # images: [B, H*W, C] preloaded; img_idx: [K] which image per step
+            import optax
+            from ..data.rays_device import gen_rays_jnp
+
+            c = images.shape[-1]
+
+            def body(carry, idx):
+                params, opt_state, ema, key = carry
+                key, k_pix, k_bg, k_pt = jax.random.split(key, 4)
+                inds = jax.random.randint(k_pix, (opt.num_rays,), 0, H * W)
+                pix = images[idx][inds]  # [N, C]
+                if opt.color_space == "linear":
+                    pix = pix.at[..., :3].set(srgb_to_linear(pix[..., :3]))
+                if c == 4 and spec.bg_radius <= 0 and not opt.no_bg:
+                    bg = jax.random.uniform(k_bg, (opt.num_rays, 3))
+                    gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
+                else:
+                    bg = jnp.ones((3,), jnp.float32)
+                    gt = pix[..., :3]
+                rays_o, rays_d = gen_rays_jnp(poses[idx], intrinsics, H, W, inds)
+                loss_fn = loss_fn_factory(bitfield, gt, bg, k_pt)
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, rays_o, rays_d)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if decay is not None:
+                    ema = jax.tree_util.tree_map(
+                        lambda e, p: e * decay + p * (1.0 - decay), ema, params)
+                return (params, opt_state, ema, key), loss
+
+            (params, opt_state, ema, key), losses = jax.lax.scan(
+                body, (params, opt_state, ema, key), img_idx)
+            return params, opt_state, ema, losses
+
+        self._scan_steps = jax.jit(
+            scan_steps, static_argnums=(8, 9, 10), donate_argnums=(0, 1, 2)
+        )
+
+    def supports_fast_path(self, train_ds) -> bool:
+        opt = self.opt
+        return (
+            train_ds.images is not None
+            and not opt.error_map
+            and opt.patch_size == 1
+            and getattr(opt, "random_size", 0) == 0
+            and getattr(self, "_scan_steps", None) is not None
+        )
+
+    def train_one_epoch_fast(self, train_ds):
+        """One epoch as ceil(B/interval) scanned dispatches; grid refresh between scans.
+
+        Removes all per-step host work (ray gen, H2D upload, loss sync) — the dominant
+        cost observed on TPU with the step-at-a-time loop.
+        """
+        t0 = time.time()
+        if not hasattr(self, "_dev_images"):
+            imgs = train_ds.images
+            self._dev_images = jnp.asarray(
+                imgs.reshape(imgs.shape[0], -1, imgs.shape[-1]))
+            self._dev_poses = jnp.asarray(train_ds.poses)
+        B = len(train_ds.poses)
+        order = np.random.permutation(B)
+        interval = self.opt.update_extra_interval
+        intr = tuple(float(v) for v in train_ds.intrinsics)
+        losses = []
+        for start in range(0, B, interval):
+            chunk = order[start:start + interval]
+            self.key, k = jax.random.split(self.key)
+            self.grid_state = self._refresh_grid(k)
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, self.ema_params, ls = self._scan_steps(
+                self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
+                k, self._dev_images, self._dev_poses, jnp.asarray(chunk),
+                intr, train_ds.H, train_ds.W,
+            )
+            self.global_step += len(chunk)
+            losses.append(ls)
+        avg = float(jnp.concatenate(losses).mean())
+        self.stats["loss"].append(avg)
+        self.log(f"[epoch {self.epoch}] loss={avg:.6f} "
+                 f"({B} steps, {time.time()-t0:.1f}s, step={self.global_step})")
+
     # ------------------------------------------------------------------ logging
+
+    def _refresh_grid(self, key):
+        """Full refresh during warmup, rotating 1/4 partial refresh after
+        (static-shape analog of nerf/renderer.py:479-537)."""
+        if self.global_step < self.opt.grid_update_warmup or not hasattr(self, "_update_grid_partial"):
+            return self._update_grid(self.params, self.grid_state, key)
+        slab = jnp.int32(self.global_step // self.opt.update_extra_interval)
+        return self._update_grid_partial(self.params, self.grid_state, key, slab)
 
     def log(self, *args):
         msg = " ".join(str(a) for a in args)
@@ -213,9 +327,13 @@ class Trainer:
             self.grid_state, jnp.asarray(train_ds.poses),
             tuple(float(v) for v in train_ds.intrinsics),
         )
+        fast = self.supports_fast_path(train_ds)
         for _ in range(max_epochs - self.epoch):
             self.epoch += 1
-            self.train_one_epoch(train_ds)
+            if fast:
+                self.train_one_epoch_fast(train_ds)
+            else:
+                self.train_one_epoch(train_ds)
             self.save_checkpoint(best=False)
             if valid_ds is not None and self.epoch % self.eval_interval == 0:
                 self.evaluate_one_epoch(valid_ds)
@@ -228,7 +346,7 @@ class Trainer:
         for data in train_ds.iter_epoch():
             if self.global_step % self.opt.update_extra_interval == 0:
                 self.key, k = jax.random.split(self.key)
-                self.grid_state = self._update_grid(self.params, self.grid_state, k)
+                self.grid_state = self._refresh_grid(k)
 
             self.key, k = jax.random.split(self.key)
             images = jnp.asarray(data["images"])
@@ -349,6 +467,44 @@ class Trainer:
         except Exception as e:
             self.log(f"[WARN] video write failed: {e}")
 
+    def save_mesh(self, resolution: int = 256, threshold: float = 10.0,
+                  save_path: Optional[str] = None):
+        """Marching-tetrahedra mesh export of the density field
+        (nerf/utils.py:633-653 save_mesh + :187-217 extract_geometry)."""
+        from ..utils.mcubes import marching_tetrahedra, write_ply
+
+        if hasattr(self, "palette_spec"):
+            from ..models.palette import palette_density as nerf_density
+        else:
+            from ..models.nerf import nerf_density
+
+        save_path = save_path or os.path.join(
+            self.workspace, "meshes", f"{self.name}_{self.epoch}.ply")
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        b = self.spec.bound
+        lin = np.linspace(-b, b, resolution, dtype=np.float32)
+        field = np.zeros((resolution,) * 3, np.float32)
+        params = self.eval_params()
+
+        density_fn = jax.jit(lambda p, pts: nerf_density(p, self.spec, pts)["sigma"])
+        chunk = 128 ** 2
+        grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+        out = np.zeros(len(grid), np.float32)
+        for s in range(0, len(grid), chunk):
+            pts = grid[s:s + chunk]
+            pad = chunk - len(pts)
+            if pad:
+                pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+            sig = np.asarray(density_fn(params, jnp.asarray(pts)))
+            out[s:s + chunk - pad if pad else s + chunk] = sig[: chunk - pad if pad else chunk]
+        field = out.reshape(resolution, resolution, resolution)
+
+        verts, faces = marching_tetrahedra(field, threshold)
+        verts = verts / (resolution - 1) * (2 * b) - b
+        write_ply(save_path, verts, faces)
+        self.log(f"[save_mesh] {len(verts)} verts, {len(faces)} faces -> {save_path}")
+        return save_path
+
     def _save_image(self, path, img01):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
@@ -392,6 +548,12 @@ class Trainer:
                 return
         data = ckpt_lib.load_checkpoint(path)
         merged, missing, _ = ckpt_lib.merge_params_non_strict(self.params, data["params"])
+        if isinstance(merged, dict):
+            # adopt state-only tensors absent from the fresh template (e.g. the frozen
+            # hist_weights volume created by initialize_palette before training)
+            for k, v in data["params"].items():
+                if k not in merged:
+                    merged[k] = v
         self.params = jax.tree_util.tree_map(jnp.asarray, merged)
         if missing:
             self.log(f"[WARN] missing params in ckpt: {missing[:5]}...")
