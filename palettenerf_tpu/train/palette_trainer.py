@@ -163,6 +163,75 @@ class PaletteTrainer(Trainer):
             train_step, static_argnums=(11, 12), donate_argnums=(0, 1, 2)
         )
 
+        # ---- scanned fast path: K steps per dispatch, pixels sampled on device
+        def scan_steps(params, opt_state, ema, bitfield, key, images, feats, poses,
+                       img_idx, lambda_weight, lambda_palette, intrinsics, H, W,
+                       freeze_basis_color, require_smooth_loss):
+            import optax
+
+            from ..data.rays_device import gen_rays_jnp
+
+            c = images.shape[-1]
+
+            def body(carry, idx):
+                params, opt_state, ema, key = carry
+                key, k_pix, k_bg, k_render = jax.random.split(key, 4)
+                inds = jax.random.randint(k_pix, (opt.num_rays,), 0, H * W)
+                pix = images[idx][inds]
+                if opt.color_space == "linear":
+                    pix = pix.at[..., :3].set(srgb_to_linear(pix[..., :3]))
+                if c == 4 and spec.bg_radius <= 0:
+                    bg = jax.random.uniform(k_bg, (opt.num_rays, 3))
+                    gt = pix[..., :3] * pix[..., 3:] + bg * (1.0 - pix[..., 3:])
+                else:
+                    bg = jnp.ones((3,), jnp.float32)
+                    gt = pix[..., :3]
+                gt_feat = feats[idx][inds] if feats is not None else None
+                rays_o, rays_d = gen_rays_jnp(poses[idx], intrinsics, H, W, inds)
+
+                def loss_fn(p):
+                    out = render_palette_train(
+                        p, spec, bitfield, rays_o, rays_d, k_render, tset,
+                        bg_color=bg, freeze_basis_color=freeze_basis_color,
+                        require_smooth_loss=require_smooth_loss, perturb=True,
+                    )
+                    loss = ((out["image"] - gt) ** 2).mean()
+                    loss += ((out["direct_rgb"] - gt) ** 2).mean()
+                    if spec.pred_clip and gt_feat is not None:
+                        loss += ((out["clip_feat"] - gt_feat) ** 2).mean()
+                    loss += opt.lambda_sparsity * out["omega_sparsity"].mean()
+                    loss += opt.lambda_offsets * out["offsets_norm"].mean()
+                    loss += opt.lambda_view_dep * out["view_dep_norm"].mean()
+                    if require_smooth_loss and opt.lambda_smooth > 0:
+                        loss += opt.lambda_smooth * out["smooth_norm"].mean()
+                    loss += lambda_palette * (
+                        (p["basis_color"] - p["basis_color_origin"]) ** 2
+                    ).sum(-1).mean()
+                    if "hist_weights" in p:
+                        gt_w = jax.lax.stop_gradient(
+                            get_palette_weight_with_hist(gt, p["hist_weights"]))
+                        loss += lambda_weight * ((gt_w - out["basis_acc"]) ** 2).mean()
+                    return loss
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                grads["basis_color_origin"] = jnp.zeros_like(grads["basis_color_origin"])
+                if "hist_weights" in grads:
+                    grads["hist_weights"] = jnp.zeros_like(grads["hist_weights"])
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if decay is not None:
+                    ema = jax.tree_util.tree_map(
+                        lambda e, p: e * decay + p * (1.0 - decay), ema, params)
+                return (params, opt_state, ema, key), loss
+
+            (params, opt_state, ema, key), losses = jax.lax.scan(
+                body, (params, opt_state, ema, key), img_idx)
+            return params, opt_state, ema, losses
+
+        self._scan_steps_palette = jax.jit(
+            scan_steps, static_argnums=(12, 13, 14, 15), donate_argnums=(0, 1, 2)
+        )
+
         def eval_chunk(params, bitfield, rays_o, rays_d, bg_color):
             return render_palette_eval(
                 params, spec, bitfield, rays_o, rays_d, eset, bg_color,
@@ -245,7 +314,54 @@ class PaletteTrainer(Trainer):
                 self.require_smooth_loss = True
         return self.stats
 
+    def supports_fast_path(self, train_ds) -> bool:
+        opt = self.opt
+        return (
+            train_ds.images is not None
+            and not opt.error_map
+            and opt.patch_size == 1
+            and getattr(opt, "random_size", 0) == 0
+        )
+
+    def train_one_epoch_fast(self, train_ds):
+        """Scanned palette epoch: one dispatch per update_extra_interval steps."""
+        t0 = time.time()
+        if not hasattr(self, "_dev_images"):
+            imgs = train_ds.images
+            self._dev_images = jnp.asarray(imgs.reshape(imgs.shape[0], -1, imgs.shape[-1]))
+            self._dev_poses = jnp.asarray(train_ds.poses)
+            feats = getattr(train_ds, "feat_images", None)
+            self._dev_feats = (
+                jnp.asarray(feats.reshape(feats.shape[0], -1, feats.shape[-1]))
+                if feats is not None else None
+            )
+        B = len(train_ds.poses)
+        order = np.random.permutation(B)
+        interval = self.opt.update_extra_interval
+        intr = tuple(float(v) for v in train_ds.intrinsics)
+        losses = []
+        for start in range(0, B, interval):
+            chunk = order[start:start + interval]
+            self.key, k = jax.random.split(self.key)
+            (self.params, self.opt_state, self.ema_params, ls) = self._scan_steps_palette(
+                self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
+                k, self._dev_images, self._dev_feats, self._dev_poses,
+                jnp.asarray(chunk), jnp.float32(self.lambda_weight),
+                jnp.float32(self.lambda_palette), intr, train_ds.H, train_ds.W,
+                self.freeze_basis_color, self.require_smooth_loss,
+            )
+            self.global_step += len(chunk)
+            losses.append(ls)
+        avg = float(jnp.concatenate(losses).mean())
+        self.stats["loss"].append(avg)
+        self.log(f"[epoch {self.epoch}] loss={avg:.6f} "
+                 f"({B} steps, {time.time()-t0:.1f}s, step={self.global_step}, "
+                 f"lw={self.lambda_weight:.4f}, lp={self.lambda_palette:.4f}, "
+                 f"freeze={self.freeze_basis_color}, smooth={self.require_smooth_loss})")
+
     def train_one_epoch(self, train_ds):
+        if self.supports_fast_path(train_ds):
+            return self.train_one_epoch_fast(train_ds)
         t0 = time.time()
         total_loss, steps = 0.0, 0
         clip_dim = self.palette_spec.clip_dim
