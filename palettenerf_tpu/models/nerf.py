@@ -67,8 +67,10 @@ class NeRFSpec:
         return self.sh_degree ** 2
 
     @property
-    def table_dtype(self):
-        return jnp.bfloat16 if self.fp16 else jnp.float32
+    def scatter_dtype(self):
+        # bf16 gradient accumulation under --fp16 (reference fp16 atomicAdd analog);
+        # forward gathers stay f32 (bf16 [rows,2] outputs tile-pad 64x in HBM)
+        return jnp.bfloat16 if self.fp16 else None
 
 
 def _mlp_dims(in_dim, hidden, out_dim, num_layers):
@@ -106,8 +108,8 @@ def init_nerf(key, spec: NeRFSpec, dtype=jnp.float32):
 
 def nerf_density(params, spec: NeRFSpec, x):
     """x [..., 3] in [-bound, bound] -> dict(sigma [...], geo_feat [..., 15])."""
-    table = params["encoder"].astype(spec.table_dtype)
-    h = hashgrid_encode_bounded(table, x, spec.grid, spec.bound).astype(jnp.float32)
+    h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
+                                scatter_dtype=spec.scatter_dtype)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}

@@ -85,8 +85,8 @@ class PaletteSpec:
                    grid=grid, grid_bg=grid_bg, **kw)
 
     @property
-    def table_dtype(self):
-        return jnp.bfloat16 if self.fp16 else jnp.float32
+    def scatter_dtype(self):
+        return jnp.bfloat16 if self.fp16 else None
 
     @property
     def sh_dim(self) -> int:
@@ -164,8 +164,8 @@ def initialize_palette(params, spec: PaletteSpec, color_list=None, hist_weights=
 
 
 def palette_density(params, spec: PaletteSpec, x):
-    table = params["encoder"].astype(spec.table_dtype)
-    h = hashgrid_encode_bounded(table, x, spec.grid, spec.bound).astype(jnp.float32)
+    h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
+                                scatter_dtype=spec.scatter_dtype)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
@@ -185,9 +185,8 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat):
         params["color_net"], jnp.concatenate([de, geo], -1), final_activation=jax.nn.sigmoid
     )
 
-    hp = hashgrid_encode_bounded(
-        params["encoder_palette"].astype(spec.table_dtype), x, spec.grid, spec.bound
-    ).astype(jnp.float32)
+    hp = hashgrid_encode_bounded(params["encoder_palette"], x, spec.grid, spec.bound,
+                                 scatter_dtype=spec.scatter_dtype)
     hp = jnp.concatenate([hp, jax.lax.stop_gradient(diffuse)], -1)
     palette_feat = apply_mlp(params["basis_net"], hp, activation=jax.nn.elu)
 
@@ -207,9 +206,8 @@ def palette_forward(params, spec: PaletteSpec, x, d):
     sigma = dens["sigma"]
 
     if spec.pred_clip:
-        hc = hashgrid_encode_bounded(
-            params["encoder_clip"].astype(spec.table_dtype), x, spec.grid, spec.bound
-        ).astype(jnp.float32)
+        hc = hashgrid_encode_bounded(params["encoder_clip"], x, spec.grid, spec.bound,
+                                     scatter_dtype=spec.scatter_dtype)
         clip_feat = apply_mlp(params["clip_net"], hc)
     else:
         clip_feat = jnp.zeros(x.shape[:-1] + (spec.clip_dim,), sigma.dtype)

@@ -89,14 +89,43 @@ def _all_indices(spec: HashGridSpec, x01):
     return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def hashgrid_encode_fast(table, x01, spec: HashGridSpec):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def hashgrid_encode_fast(table, x01, spec: HashGridSpec, scatter_dtype=None):
     """table [total, C]; x01 [..., D] in [0,1] -> [..., L*C].
 
     Output matches ops.hashgrid.hashgrid_encode bit-for-bit in f32.
+
+    ``scatter_dtype`` (static): dtype for the backward scatter-add cotangents (bf16
+    halves the scatter matmul cost, mirroring the reference's fp16 atomicAdd
+    accumulation). The FORWARD gather stays in the table dtype: bf16 gather *outputs*
+    of shape [rows, 2] get a tiled (2,1) layout whose 128-lane padding inflates them
+    64x in HBM (observed OOM at eval scale), so don't feed bf16 tables here.
     """
     out, _ = _fwd_impl(table, x01, spec)
     return out
+
+
+_ENCODE_CHUNK = 32768  # bounds gather-output materialization: XLA sometimes assigns a
+# tiled (8,128) layout to the [M*L*K, C] gather result, whose 128-lane padding inflates
+# it up to 64x in HBM; chunking via lax.map caps the worst case at ~2 GB per buffer.
+
+
+def _encode_block(table, spec: HashGridSpec, x):
+    """Encode a [Mc, D] block -> (out [Mc, L*C], idx [Mc, L*K], w [Mc, L*K])."""
+    C, L, K = spec.level_dim, spec.num_levels, 2 ** spec.input_dim
+    Mc = x.shape[0]
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    idx, w = _all_indices(spec, x)
+    feats = table[idx.reshape(-1)].reshape(Mc, L * K, C)
+    fw = feats * w[..., None].astype(table.dtype)
+    # corner-sum via a tiny matmul instead of a [Mc, L, K, C] reshape — 4D arrays with
+    # small minor dims trigger catastrophic tile padding in TPU layouts
+    reduce = jnp.zeros((L * K, L), fw.dtype)
+    lvl_of = jnp.repeat(jnp.arange(L), K)
+    reduce = reduce.at[jnp.arange(L * K), lvl_of].set(1)
+    out = jnp.einsum("mkc,kl->mlc", fw, reduce).reshape(Mc, L * C)
+    out = jnp.where(oob[:, None], 0, out)
+    return out, idx, w, oob
 
 
 def _fwd_impl(table, x01, spec: HashGridSpec):
@@ -108,30 +137,33 @@ def _fwd_impl(table, x01, spec: HashGridSpec):
     x = x01.reshape(-1, D).astype(jnp.float32)
     M = x.shape[0]
 
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
-    idx, w = _all_indices(spec, x)                      # [M, L*K]
-    feats = table[idx.reshape(-1)].reshape(M, L * K, C)  # single flat gather
-    fw = feats * w[..., None].astype(table.dtype)        # [M, L*K, C]
-    # corner-sum via a tiny matmul instead of a [M, L, K, C] reshape — 4D arrays with
-    # small minor dims trigger catastrophic tile padding in TPU layouts
-    reduce = jnp.zeros((L * K, L), fw.dtype)
-    lvl_of = jnp.repeat(jnp.arange(L), K)
-    reduce = reduce.at[jnp.arange(L * K), lvl_of].set(1)
-    out = jnp.einsum("mkc,kl->mlc", fw, reduce)          # [M, L, C]
-    out = out.reshape(M, L * C)
-    out = jnp.where(oob[:, None], 0, out).reshape(*lead, L * C)
-    return out, (idx, w, oob, lead)
+    if M <= _ENCODE_CHUNK:
+        out, idx, w, oob = _encode_block(table, spec, x)
+    else:
+        pad = (-M) % _ENCODE_CHUNK
+        xp = jnp.concatenate([x, jnp.full((pad, D), 0.5, x.dtype)], 0) if pad else x
+        n_chunks = xp.shape[0] // _ENCODE_CHUNK
+        out, idx, w, oob = jax.lax.map(
+            lambda xc: _encode_block(table, spec, xc),
+            xp.reshape(n_chunks, _ENCODE_CHUNK, D),
+        )
+        out = out.reshape(-1, L * C)[:M]
+        idx = idx.reshape(-1, L * K)[:M]
+        w = w.reshape(-1, L * K)[:M]
+        oob = oob.reshape(-1)[:M]
+
+    return out.reshape(*lead, L * C), (idx, w, oob, lead)
 
 
-def _fwd(table, x01, spec: HashGridSpec):
+def _fwd(table, x01, spec: HashGridSpec, scatter_dtype=None):
     out, res = _fwd_impl(table, x01, spec)
     dtype_token = jnp.zeros((0,), table.dtype)  # residuals must be arrays
     return out, (res, dtype_token)
 
 
-def _bwd(spec: HashGridSpec, saved, g):
+def _bwd(spec: HashGridSpec, scatter_dtype, saved, g):
     (idx, w, oob, lead), dtype_token = saved
-    tdtype = dtype_token.dtype
+    tdtype = scatter_dtype if scatter_dtype is not None else dtype_token.dtype
     D, C, L = spec.input_dim, spec.level_dim, spec.num_levels
     K = 2 ** D
     M = idx.shape[0]
@@ -151,12 +183,13 @@ def _bwd(spec: HashGridSpec, saved, g):
         _, vjp = jax.vjp(lambda t: t[idx_l], sub)
         (grad_l,) = vjp(gw_l)
         grads.append(grad_l)
-    grad_table = jnp.concatenate(grads, 0).astype(tdtype)
+    grad_table = jnp.concatenate(grads, 0).astype(dtype_token.dtype)
     return grad_table, None
 
 
 hashgrid_encode_fast.defvjp(_fwd, _bwd)
 
 
-def hashgrid_encode_fast_bounded(table, x, spec: HashGridSpec, bound: float):
-    return hashgrid_encode_fast(table, (x + bound) / (2.0 * bound), spec)
+def hashgrid_encode_fast_bounded(table, x, spec: HashGridSpec, bound: float,
+                                 scatter_dtype=None):
+    return hashgrid_encode_fast(table, (x + bound) / (2.0 * bound), spec, scatter_dtype)
