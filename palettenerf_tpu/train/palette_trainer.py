@@ -354,6 +354,7 @@ class PaletteTrainer(Trainer):
             losses.append(ls)
         avg = float(jnp.concatenate(losses).mean())
         self.stats["loss"].append(avg)
+        self._write_scalar("train/loss", avg)
         self.log(f"[epoch {self.epoch}] loss={avg:.6f} "
                  f"({B} steps, {time.time()-t0:.1f}s, step={self.global_step}, "
                  f"lw={self.lambda_weight:.4f}, lp={self.lambda_palette:.4f}, "
@@ -419,6 +420,8 @@ class PaletteTrainer(Trainer):
                 self._save_image(base + ".png", pred)
                 self._save_palette_maps(base, out)
         result = self.metrics[0].measure() if n else 0.0
+        for m in self.metrics:
+            m.write(self.writer, self.global_step, prefix="evaluate")
         self.stats["results"].append(result)
         if self.stats["best_result"] is None or result > self.stats["best_result"]:
             self.stats["best_result"] = result

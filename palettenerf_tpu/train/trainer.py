@@ -75,6 +75,15 @@ class Trainer:
         self.best_path = os.path.join(self.ckpt_path, f"{name}.ckpt")
         self.log_path = os.path.join(workspace, f"log_{name}.txt")
 
+        # tensorboard scalars (reference: nerf/utils.py writer; palette/utils.py:734-738)
+        self.writer = None
+        try:
+            import tensorboardX
+
+            self.writer = tensorboardX.SummaryWriter(os.path.join(workspace, "run", name))
+        except Exception:
+            pass
+
         self.key = jax.random.PRNGKey(opt.seed)
         if params is None:
             self.key, k = jax.random.split(self.key)
@@ -296,6 +305,7 @@ class Trainer:
             losses.append(ls)
         avg = float(jnp.concatenate(losses).mean())
         self.stats["loss"].append(avg)
+        self._write_scalar("train/loss", avg)
         self.log(f"[epoch {self.epoch}] loss={avg:.6f} "
                  f"({B} steps, {time.time()-t0:.1f}s, step={self.global_step})")
 
@@ -364,8 +374,13 @@ class Trainer:
                 )
         avg = total_loss / max(steps, 1)
         self.stats["loss"].append(avg)
+        self._write_scalar("train/loss", avg)
         self.log(f"[epoch {self.epoch}] loss={avg:.6f} "
                  f"({steps} steps, {time.time()-t0:.1f}s, step={self.global_step})")
+
+    def _write_scalar(self, tag: str, value: float):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, self.global_step)
 
     # ------------------------------------------------------------------ eval / test
 
@@ -418,6 +433,8 @@ class Trainer:
                     pred,
                 )
         result = self.metrics[0].measure() if n else 0.0
+        for m in self.metrics:
+            m.write(self.writer, self.global_step, prefix="evaluate")
         self.stats["results"].append(result)
         if self.stats["best_result"] is None or result > self.stats["best_result"]:
             self.stats["best_result"] = result

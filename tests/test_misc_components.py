@@ -1,0 +1,158 @@
+"""Tests for auxiliary components: losses, sample_pdf, uniform renderer, marching
+tetrahedra, llff2nerf geometry, orbit camera, profiling utils."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from palettenerf_tpu.ops.losses import eff_dist_loss, huber_loss, mape_loss
+from palettenerf_tpu.ops.sampling import sample_pdf
+
+
+def test_mape_and_huber():
+    pred = jnp.asarray([1.0, 2.0, 3.0])
+    tgt = jnp.asarray([1.5, 2.0, 2.0])
+    assert float(mape_loss(pred, tgt)) == pytest.approx(
+        np.mean(np.abs([-0.5, 0, 1.0]) / (np.abs([1.5, 2, 2]) + 1e-2)), rel=1e-5)
+    # huber: quadratic below delta, linear above
+    assert float(huber_loss(jnp.asarray([0.05]), jnp.asarray([0.0]), delta=0.1)) == \
+        pytest.approx(0.5 / 0.1 * 0.05 ** 2, rel=1e-5)
+    assert float(huber_loss(jnp.asarray([1.0]), jnp.asarray([0.0]), delta=0.1)) == \
+        pytest.approx(1.0 - 0.05, rel=1e-5)
+
+
+def test_eff_dist_loss_matches_quadratic_form():
+    """O(N) loss must equal the O(N^2) definition sum_ij w_i w_j |m_i - m_j|."""
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0, 1, (4, 16)).astype(np.float32)
+    m = np.sort(rng.uniform(0, 1, (4, 16)).astype(np.float32), -1)
+    interval = 0.01
+    fast = float(eff_dist_loss(jnp.asarray(w), jnp.asarray(m), interval))
+    bi = np.abs(m[:, :, None] - m[:, None, :]) * (w[:, :, None] * w[:, None, :])
+    slow = (bi.sum() + (1 / 3) * interval * (w ** 2).sum()) / w.shape[0]
+    assert fast == pytest.approx(slow, rel=1e-4)
+
+
+def test_sample_pdf_concentrates_on_high_weight_bins():
+    bins = jnp.linspace(0, 1, 17)[None].repeat(2, 0)  # [2, 17]
+    w = np.full((2, 16), 1e-6, np.float32)
+    w[:, 8] = 1.0  # all mass in bin 8 -> z in [0.5, 0.5625]
+    z = np.asarray(sample_pdf(jax.random.PRNGKey(0), bins, jnp.asarray(w), 64, det=True))
+    assert z.shape == (2, 64)
+    assert (z > 0.45).mean() > 0.9
+
+
+def test_uniform_renderer_runs():
+    from palettenerf_tpu.models.nerf import NeRFSpec, init_nerf
+    from palettenerf_tpu.render.nerf_renderer import RenderSettings, render_nerf_uniform
+
+    spec = NeRFSpec.build(bound=1.0, grid_levels=4, log2_hashmap_size=14)
+    params = init_nerf(jax.random.PRNGKey(0), spec)
+    settings = RenderSettings(bound=1.0, min_near=0.05)
+    ro = jnp.tile(jnp.asarray([[0, 0, -1.5]], jnp.float32), (16, 1))
+    rd = jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (16, 1))
+    out = jax.jit(lambda p: render_nerf_uniform(
+        p, spec, ro, rd, jax.random.PRNGKey(1), settings,
+        num_steps=32, upsample_steps=32))(params)
+    assert out["image"].shape == (16, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()
+    assert (np.asarray(out["weights_sum"]) >= 0).all()
+
+
+def test_marching_tetrahedra_sphere():
+    from palettenerf_tpu.utils.mcubes import marching_tetrahedra, write_obj, write_ply
+
+    n = 24
+    lin = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    field = 0.6 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)  # inside sphere r=0.6 positive
+    verts, faces = marching_tetrahedra(field, 0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    # vertices lie near the r=0.6 isosurface (in index coords -> convert)
+    w = verts / (n - 1) * 2 - 1
+    r = np.linalg.norm(w, axis=-1)
+    assert abs(r.mean() - 0.6) < 0.05
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        write_obj(os.path.join(d, "m.obj"), verts, faces)
+        write_ply(os.path.join(d, "m.ply"), verts, faces)
+        assert os.path.getsize(os.path.join(d, "m.obj")) > 0
+        assert os.path.getsize(os.path.join(d, "m.ply")) > 0
+
+
+def test_llff2nerf_conversion(tmp_path):
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from llff2nerf import convert
+
+    # synthetic LLFF dataset: 10 cameras on a ring, poses_bounds + images dir
+    rng = np.random.default_rng(0)
+    n = 10
+    img_dir = tmp_path / "images_8"
+    img_dir.mkdir()
+    import cv2
+
+    pb = np.zeros((n, 17))
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        # LLFF pose: [down right back] 3x4 + hwf column
+        center = np.array([np.cos(ang), np.sin(ang), 4.0])
+        z = center / np.linalg.norm(center)  # back
+        up = np.array([0, 1, 0.0])
+        right = np.cross(up, z); right /= np.linalg.norm(right)
+        down = np.cross(z, right)
+        m = np.stack([down, right, z, center], 1)  # [3,4] llff convention-ish
+        hwf = np.array([64.0, 64.0, 80.0])
+        pb[i, :15] = np.concatenate([m, hwf[:, None]], 1).reshape(-1)
+        pb[i, 15:] = [2.0, 6.0]
+        cv2.imwrite(str(img_dir / f"im_{i:03d}.png"), rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    np.save(tmp_path / "poses_bounds.npy", pb)
+
+    convert(str(tmp_path), images="images_8", downscale=1, hold=4, datatype="llff", n_video=12)
+    for split in ["train", "val", "test", "video"]:
+        f = tmp_path / f"transforms_{split}.json"
+        assert f.exists()
+        t = json.loads(f.read_text())
+        assert "frames" in t and "fl_x" in t
+    train = json.loads((tmp_path / "transforms_train.json").read_text())
+    video = json.loads((tmp_path / "transforms_video.json").read_text())
+    assert len(video["frames"]) == 12
+    assert all(fr["file_path"] == "---" for fr in video["frames"])
+    # recentered + normalized: camera radius ~4
+    pos = np.array([fr["transform_matrix"] for fr in train["frames"]])[:, :3, 3]
+    assert abs(np.linalg.norm(pos, axis=-1).mean() - 4.0) < 0.5
+
+
+def test_orbit_camera():
+    from palettenerf_tpu.gui.camera import OrbitCamera
+
+    cam = OrbitCamera(64, 64, r=2.0, fovy=60)
+    p0 = cam.pose.copy()
+    assert p0.shape == (4, 4)
+    assert np.linalg.norm(p0[:3, 3]) == pytest.approx(2.0, rel=1e-5)
+    cam.orbit(5, 0)
+    assert not np.allclose(cam.pose, p0)
+    cam.scale(1)
+    assert cam.radius < 2.0
+    fx, fy, cx, cy = cam.intrinsics
+    assert cx == 32 and fy == pytest.approx(64 / (2 * np.tan(np.radians(30))))
+
+
+def test_phase_timer():
+    from palettenerf_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b", sync_on=jnp.ones(4)):
+        pass
+    rep = t.report()
+    assert "a" in rep and "x2" in rep and "b" in rep
