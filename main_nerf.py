@@ -112,10 +112,17 @@ def main(argv=None):
         metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
         trainer = Trainer("ngp", cfg, spec, workspace=workspace, metrics=metrics,
                           use_checkpoint=cfg.ckpt)
+        if cfg.gui:
+            from palettenerf_tpu.gui.dpg_gui import NeRFGUI
+
+            test_ds = NeRFDataset(cfg, type="traintest")
+            NeRFGUI(cfg, trainer, test_ds).render()
+            return
         test_ds = NeRFDataset(cfg, type="test")
         if test_ds.has_gt:
             trainer.evaluate_one_epoch(test_ds)
         trainer.test(test_ds, write_video=True)
+        trainer.save_mesh(resolution=256, threshold=10)
     else:
         train_ds = NeRFDataset(cfg, type="train")
         valid_ds = NeRFDataset(cfg, type="val", downscale=1)
@@ -123,6 +130,11 @@ def main(argv=None):
         trainer = Trainer("ngp", cfg, spec, workspace=workspace, metrics=metrics,
                           use_checkpoint=cfg.ckpt, ema_decay=0.95,
                           eval_interval=cfg.eval_interval)
+        if cfg.gui:
+            from palettenerf_tpu.gui.dpg_gui import NeRFGUI
+
+            NeRFGUI(cfg, trainer, train_ds).render()
+            return
         max_epoch = int(np.ceil(cfg.iters / len(train_ds)))
         trainer.train(train_ds, valid_ds, max_epoch)
 
@@ -130,6 +142,7 @@ def main(argv=None):
         if test_ds.has_gt:
             trainer.evaluate_one_epoch(test_ds)
         trainer.test(test_ds, write_video=True)
+        trainer.save_mesh(resolution=256, threshold=10)
 
 
 if __name__ == "__main__":

@@ -194,6 +194,12 @@ def main(argv=None):
                                  metrics=metrics, use_checkpoint=cfg.ckpt, nerf_path=None)
         if trainer.params.get("hist_weights") is None and extracted_hist is not None:
             trainer.initialize_palette(extracted_palette, extracted_hist)
+        if cfg.gui:
+            from palettenerf_tpu.gui.dpg_gui import PaletteGUI
+
+            test_ds = PaletteDataset(cfg, type="traintest")
+            PaletteGUI(cfg, trainer, train_loader=test_ds).render()
+            return
         if cfg.video:
             test_ds = PaletteDataset(cfg, type="video")
             trainer.test(test_ds, write_video=True)
