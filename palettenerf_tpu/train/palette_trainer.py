@@ -102,8 +102,25 @@ class PaletteTrainer(Trainer):
         eset = self.eval_settings
         decay = self.ema_decay
 
+        def patch_smooth_term(out, inds, width):
+            """Paired-pixel omega smoothness (palette/utils.py:494-516): rays come in
+            (pixel, jittered-pixel) pairs from the random_size sampler; penalize omega
+            differences weighted by image-space distance and diffuse similarity."""
+            n = inds.shape[0]
+            half = n // 2
+            diffuse = out["diffuse_rgb"]
+            omega = out["basis_acc"]
+            ij = jnp.stack([inds // width, inds % width], -1).astype(jnp.float32)
+            d0, d1 = diffuse[:half], diffuse[half:]
+            o0, o1 = omega[:half], omega[half:]
+            p0, p1 = ij[:half], ij[half:]
+            xyz_w = ((p0 - p1) ** 2).sum(-1, keepdims=True) / 100.0
+            rgb_w = ((d0 - d1) ** 2).sum(-1, keepdims=True) / opt.sigma_color
+            sw = jax.lax.stop_gradient(jnp.exp(-(xyz_w + rgb_w)))
+            return (((o0 - o1) ** 2).sum(-1, keepdims=True) * sw).mean()
+
         def train_step(params, opt_state, ema, bitfield, key, rays_o, rays_d,
-                       images, gt_feat, lambda_weight, lambda_palette,
+                       images, gt_feat, inds, lambda_weight, lambda_palette,
                        freeze_basis_color, require_smooth_loss):
             # freeze/smooth are static bools via partial-jit below
             k_bg, k_render = jax.random.split(key)
@@ -134,6 +151,10 @@ class PaletteTrainer(Trainer):
                 loss += opt.lambda_view_dep * out["view_dep_norm"].mean()
                 if require_smooth_loss and opt.lambda_smooth > 0:
                     loss += opt.lambda_smooth * out["smooth_norm"].mean()
+                if (require_smooth_loss and opt.random_size > 0
+                        and opt.lambda_patchsmooth > 0):
+                    loss += opt.lambda_patchsmooth * patch_smooth_term(
+                        out, inds, self._train_width)
                 loss += lambda_palette * (
                     (p["basis_color"] - p["basis_color_origin"]) ** 2
                 ).sum(-1).mean()
@@ -160,7 +181,7 @@ class PaletteTrainer(Trainer):
             return params, opt_state, ema, loss, per_ray
 
         self._train_step = jax.jit(
-            train_step, static_argnums=(11, 12), donate_argnums=(0, 1, 2)
+            train_step, static_argnums=(12, 13), donate_argnums=(0, 1, 2)
         )
 
         # ---- scanned fast path: K steps per dispatch, pixels sampled on device
@@ -372,10 +393,12 @@ class PaletteTrainer(Trainer):
             gt_feat = jnp.asarray(
                 data.get("feat_images", np.zeros((images.shape[0], clip_dim), np.float32))
             )
+            self._train_width = data["W"]
+            inds = jnp.asarray(data.get("inds", np.zeros(images.shape[0], np.int64)))
             (self.params, self.opt_state, self.ema_params, loss, per_ray) = self._train_step(
                 self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
                 k, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
-                images, gt_feat,
+                images, gt_feat, inds,
                 jnp.float32(self.lambda_weight), jnp.float32(self.lambda_palette),
                 self.freeze_basis_color, self.require_smooth_loss,
             )

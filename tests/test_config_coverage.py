@@ -126,3 +126,37 @@ def test_error_map_sampling_and_update(tmp_path):
     assert (after[b["inds_coarse"]] > before[b["inds_coarse"]]).all()
     assert np.allclose(np.delete(after, b["inds_coarse"]),
                        np.delete(before, b["inds_coarse"]))
+
+
+def test_patch_smooth_loss_path(tmp_path):
+    """random_size paired sampling + lambda_patchsmooth term (palette/utils.py:494-516)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synthetic import make_sphere_dataset
+
+    from palettenerf_tpu.data.palette_provider import PaletteDataset
+    from palettenerf_tpu.models.palette import PaletteSpec
+    from palettenerf_tpu.train.palette_trainer import PaletteTrainer
+
+    root = str(tmp_path / "scene")
+    make_sphere_dataset(root, n_train=3, n_val=1, n_test=1, H=16, W=16)
+    cfg = Config(path=root, bound=1.0, scale=0.5, dt_gamma=0.0, min_near=0.05,
+                 num_rays=64, iters=3, max_steps=32, grid_size=64,
+                 train_samples_per_ray=8, infer_samples_per_ray=16,
+                 num_basis=4, seed=0, random_size=2, lambda_patchsmooth=0.1,
+                 smooth_loss_start_epoch=0, update_extra_interval=2,
+                 grid_levels=4, log2_hashmap_size=13)
+    ds = PaletteDataset(cfg, type="train")
+    b = ds.collate(0)
+    # paired sampling: second half are jittered copies of the first half's pixels
+    ij = np.stack([b["inds"] // 16, b["inds"] % 16], -1)
+    assert (np.abs(ij[:32] - ij[32:]) <= 2).all()
+
+    spec = PaletteSpec.build(bound=1.0, num_basis=4, grid_levels=4, log2_hashmap_size=13)
+    tr = PaletteTrainer("palette", cfg, spec, workspace=str(tmp_path / "ws"),
+                        use_checkpoint="scratch", nerf_path=None, mute=True)
+    tr.require_smooth_loss = True
+    assert not tr.supports_fast_path(ds)  # random_size forces the paired slow path
+    tr.train_one_epoch(ds)
+    assert np.isfinite(tr.stats["loss"][-1])
