@@ -51,6 +51,8 @@ class RenderSettings:
     # analog of the reference's alive-ray loop (nerf/renderer.py:349-380): most rays
     # saturate early, so later rounds march only the top 1/divisor surviving rays.
     compaction_rounds: tuple = ()
+    # fused Pallas compositor on the eval path (forward-only; TPU backend only)
+    use_pallas_composite: bool = False
 
 
 def _resolve_bg(params, spec: NeRFSpec, rays_o, rays_d, bg_color, settings: RenderSettings):
@@ -332,7 +334,13 @@ def render_nerf_eval(
     sigmas = sigmas.reshape(n, -1) * settings.density_scale
     rgbs = rgbs.reshape(n, -1, 3)
 
-    ws, depth, image = composite_rays(sigmas, rgbs, m.dts, m.t_cum, m.mask, settings.t_thresh)
+    if settings.use_pallas_composite:
+        from ..ops.pallas_composite import composite_rays_pallas
+
+        ws, depth, image = composite_rays_pallas(
+            sigmas, rgbs, m.dts, m.t_cum, m.mask, t_thresh=settings.t_thresh)
+    else:
+        ws, depth, image = composite_rays(sigmas, rgbs, m.dts, m.t_cum, m.mask, settings.t_thresh)
     image = image + (1.0 - ws)[:, None] * bg
     # inference depth is ABSOLUTE in the reference (rays_t starts at nears,
     # raymarching.cu:1078-1079); t_cum is relative to t0 ~= nears
