@@ -40,6 +40,7 @@ def build_scene(bound=1.0, occupancy_radius=0.5):
         # alive-ray compaction: all rays get 16 samples, top 1/4 continue for 16,
         # top 1/16 finish with 32 (static analog of the reference's alive-ray loop)
         compaction_rounds=((1, 16), (4, 16), (16, 32)),
+        use_pallas_composite=False,  # compaction path uses its own fused scan
     )
     return spec, params, bitfield, settings
 

@@ -56,3 +56,15 @@ def composite_rays(sigmas, rgbs, dts, t_cum, mask, t_thresh: float):
     depth = (w * t_cum).sum(axis=-1)
     image = composite_channels(w, rgbs)
     return ws, depth, image
+
+
+def spread_ray_to_sample(per_ray, mask):
+    """Broadcast per-ray values onto that ray's sample slots (zero on empty slots).
+
+    Parity op for kernel_spread_ray_to_sample (raymarching.cu:848-894), used by the
+    reference to push GT pixel colors to samples for the rgb_norm sparsity term. In the
+    fixed [N, S] layout this is a masked broadcast.
+
+    per_ray: [N, C]; mask: [N, S] -> [N, S, C].
+    """
+    return jnp.where(mask[..., None], per_ray[:, None, :], 0.0)
