@@ -116,19 +116,49 @@ def _trilinear(vol, x01):
     return out
 
 
+def fuse_volume(baked: BakedVolume) -> jnp.ndarray:
+    """Concatenate all channels into one [R^3, C_total] array so rendering needs ONE
+    row gather per trilinear corner (gather cost on TPU is row-count-bound)."""
+    R = baked.resolution
+    parts = [baked.density.reshape(R ** 3, 1), baked.diffuse.reshape(R ** 3, 3)]
+    if baked.omega is not None:
+        P = baked.omega.shape[-1]
+        parts += [baked.omega.reshape(R ** 3, P), baked.offsets.reshape(R ** 3, 3 * P),
+                  baked.radiance.reshape(R ** 3, 1)]
+    return jnp.concatenate(parts, -1)
+
+
+def _trilinear_flat(flat, R, x01):
+    """flat [R^3, C]; x01 [N, 3] in [0,1] -> [N, C] trilinear (row-major z-minor)."""
+    g = jnp.clip(x01, 0.0, 1.0) * (R - 1)
+    i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, R - 2)
+    f = g - i0
+    out = 0.0
+    for c in range(8):
+        b = [(c >> k) & 1 for k in range(3)]
+        w = 1.0
+        for k in range(3):
+            w = w * (f[:, k] if b[k] else 1.0 - f[:, k])
+        idx = ((i0[:, 0] + b[0]) * R + (i0[:, 1] + b[1])) * R + (i0[:, 2] + b[2])
+        out = out + flat[idx] * w[:, None]
+    return out
+
+
 def render_baked(baked: BakedVolume, rays_o, rays_d, num_samples: int = 192,
                  t_thresh: float = 1e-2, bg_color=1.0, min_near: float = 0.05,
-                 basis_color=None, density_scale: float = 1.0):
+                 basis_color=None, density_scale: float = 1.0, fused=None):
     """XLA reference renderer over a baked volume (golden check for the tiled kernel).
 
     For palette bakes, pass ``basis_color`` [P,3] (possibly edited!) — the blend
     ``sum_p omega_p * softplus(radiance) * (basis_color_p + offsets_p)`` happens at
-    render time, so palette edits stay live without re-baking.
+    render time, so palette edits stay live without re-baking. Pass a precomputed
+    ``fused = fuse_volume(baked)`` to avoid re-fusing per call.
     """
     from ..ops.composite import composite_rays
     from ..ops.rays import near_far_from_aabb
 
     b = baked.bound
+    R = baked.resolution
     n = rays_o.shape[0]
     aabb = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
@@ -139,16 +169,20 @@ def render_baked(baked: BakedVolume, rays_o, rays_d, num_samples: int = 192,
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * ts[..., None]
     x01 = (xyz.reshape(-1, 3) + b) / (2 * b)
 
-    sig = _trilinear(baked.density, x01).reshape(n, num_samples) * density_scale
+    if fused is None:
+        fused = fuse_volume(baked)
+    feats = _trilinear_flat(fused, R, x01)  # [n*S, C_total]
+
+    sig = feats[:, 0].reshape(n, num_samples) * density_scale
     if baked.omega is not None and basis_color is not None:
         P = baked.omega.shape[-1]
-        om = _trilinear(baked.omega, x01).reshape(-1, P, 1)
-        off = _trilinear(baked.offsets, x01).reshape(-1, P, 3)
-        rad = _trilinear(baked.radiance, x01).reshape(-1, 1, 1)
+        om = feats[:, 4:4 + P, None]
+        off = feats[:, 4 + P:4 + 4 * P].reshape(-1, P, 3)
+        rad = feats[:, 4 + 4 * P:4 + 4 * P + 1, None]
         bc = jnp.clip(jnp.asarray(basis_color), 0, 1)[None]
         rgb = (om * (jax.nn.softplus(rad) * (bc + off))).sum(-2)
     else:
-        rgb = _trilinear(baked.diffuse, x01)
+        rgb = feats[:, 1:4]
     rgb = rgb.reshape(n, num_samples, 3)
 
     mask = ts < fars[:, None]
