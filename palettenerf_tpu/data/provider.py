@@ -106,6 +106,11 @@ class NeRFDataset:
         frames = transform["frames"]
         self.poses, self.images = self._load_frames(frames, type, n_test)
 
+        if self.H is None or self.W is None:
+            # pose-only splits (e.g. video trajectories without h/w metadata) fall back
+            # to the GUI/render dims, like the reference's opt.H/opt.W plumbing
+            self.H, self.W = opt.H, opt.W
+
         self.radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
 
         self.error_map = (
