@@ -484,6 +484,45 @@ class Trainer:
         except Exception as e:
             self.log(f"[WARN] video write failed: {e}")
 
+    def train_gui(self, train_ds, step: int = 16):
+        """One interactive training burst of ``step`` optimizer steps
+        (reference nerf/utils.py:745-800 train_gui). Returns dict(loss, lr)."""
+        t0 = time.time()
+        total = 0.0
+        it = train_ds.iter_epoch()
+        for _ in range(step):
+            try:
+                data = next(it)
+            except StopIteration:
+                it = train_ds.iter_epoch()
+                data = next(it)
+            if self.global_step % self.opt.update_extra_interval == 0:
+                self.key, k = jax.random.split(self.key)
+                self.grid_state = self._refresh_grid(k)
+            self.key, k = jax.random.split(self.key)
+            out = self._train_step(
+                self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
+                k, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
+                jnp.asarray(data["images"]),
+            )
+            self.params, self.opt_state, self.ema_params, loss = out[0], out[1], out[2], out[3]
+            self.global_step += 1
+            total += float(loss)
+        lr = float(self.opt.lr * 0.1 ** min(self.global_step / self.opt.iters, 1.0))
+        return {"loss": total / step, "lr": lr, "time": time.time() - t0}
+
+    def test_gui(self, pose, intrinsics, W: int, H: int, downscale: float = 1.0,
+                 bg_color=None):
+        """Render one interactive frame at (optionally downscaled) resolution
+        (reference nerf/utils.py:803-858 test_gui). Returns dict(image, depth)."""
+        from ..data.rays import gen_rays
+
+        rW, rH = int(W * downscale), int(H * downscale)
+        intr = np.asarray(intrinsics, np.float64) * downscale
+        ro, rd = gen_rays(np.asarray(pose, np.float32), intr, rH, rW, None)
+        out = self.render_image(ro, rd, bg_color)
+        return {k: v.reshape(rH, rW, *v.shape[1:]) for k, v in out.items()}
+
     def save_mesh(self, resolution: int = 256, threshold: float = 10.0,
                   save_path: Optional[str] = None):
         """Marching-tetrahedra mesh export of the density field
