@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_levels", type=int, default=16)
     p.add_argument("--grid_level_dim", type=int, default=2)
     p.add_argument("--grid_update_warmup", type=int, default=256)
+    p.add_argument("--fast_grad", action="store_true",
+                   help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
     return p
 
 
@@ -102,7 +104,7 @@ def main(argv=None):
     np.random.seed(cfg.seed)
 
     spec = NeRFSpec.build(
-        bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=cfg.fp16_enabled,
+        bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=cfg.fp16_enabled, fast_grad=cfg.fast_grad,
         log2_hashmap_size=cfg.log2_hashmap_size, grid_levels=cfg.grid_levels,
         grid_level_dim=cfg.grid_level_dim,
     )

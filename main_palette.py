@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_levels", type=int, default=16)
     p.add_argument("--grid_level_dim", type=int, default=2)
     p.add_argument("--grid_update_warmup", type=int, default=256)
+    p.add_argument("--fast_grad", action="store_true",
+                   help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
     return p
 
 
@@ -184,6 +186,7 @@ def main(argv=None):
         pred_clip=cfg.pred_clip, clip_dim=cfg.clip_dim, color_space=cfg.color_space,
         smooth_sigma_xyz=cfg.smooth_sigma_xyz, smooth_sigma_color=cfg.smooth_sigma_color,
         smooth_sigma_clip=cfg.smooth_sigma_clip, fp16=cfg.fp16_enabled,
+        fast_grad=cfg.fast_grad,
         log2_hashmap_size=cfg.log2_hashmap_size, grid_levels=cfg.grid_levels,
         grid_level_dim=cfg.grid_level_dim,
     )

@@ -124,6 +124,7 @@ class Config:
     grid_levels: int = 16              # hash-grid levels (reference default 16)
     grid_level_dim: int = 2            # features per level (reference default 2)
     grid_update_warmup: int = 256      # full-grid refreshes until this step, partial after
+    fast_grad: bool = False            # nearest-corner hash backward (8x fewer scatter updates)
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)

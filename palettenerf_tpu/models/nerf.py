@@ -44,6 +44,7 @@ class NeRFSpec:
     sh_degree: int = 4
     bg_radius: float = -1.0
     fp16: bool = False  # bf16 hash-table compute (AMP analog; halves the scatter matmul)
+    fast_grad: bool = False  # nearest-corner hash backward (8x fewer scatter updates)
     grid: HashGridSpec = None  # type: ignore[assignment]
     grid_bg: Optional[HashGridSpec] = None
 
@@ -109,7 +110,8 @@ def init_nerf(key, spec: NeRFSpec, dtype=jnp.float32):
 def nerf_density(params, spec: NeRFSpec, x):
     """x [..., 3] in [-bound, bound] -> dict(sigma [...], geo_feat [..., 15])."""
     h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
-                                scatter_dtype=spec.scatter_dtype)
+                                scatter_dtype=spec.scatter_dtype,
+                                nearest_corner_grad=spec.fast_grad)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}

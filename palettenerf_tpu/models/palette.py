@@ -66,6 +66,7 @@ class PaletteSpec:
     grid_bg: Optional[HashGridSpec] = None
 
     fp16: bool = False
+    fast_grad: bool = False
 
     @classmethod
     def build(cls, bound: float = 1.0, bg_radius: float = -1.0, num_basis: int = 4,
@@ -165,7 +166,8 @@ def initialize_palette(params, spec: PaletteSpec, color_list=None, hist_weights=
 
 def palette_density(params, spec: PaletteSpec, x):
     h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
-                                scatter_dtype=spec.scatter_dtype)
+                                scatter_dtype=spec.scatter_dtype,
+                                nearest_corner_grad=spec.fast_grad)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
@@ -186,7 +188,8 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat):
     )
 
     hp = hashgrid_encode_bounded(params["encoder_palette"], x, spec.grid, spec.bound,
-                                 scatter_dtype=spec.scatter_dtype)
+                                 scatter_dtype=spec.scatter_dtype,
+                                 nearest_corner_grad=spec.fast_grad)
     hp = jnp.concatenate([hp, jax.lax.stop_gradient(diffuse)], -1)
     palette_feat = apply_mlp(params["basis_net"], hp, activation=jax.nn.elu)
 
@@ -207,7 +210,8 @@ def palette_forward(params, spec: PaletteSpec, x, d):
 
     if spec.pred_clip:
         hc = hashgrid_encode_bounded(params["encoder_clip"], x, spec.grid, spec.bound,
-                                     scatter_dtype=spec.scatter_dtype)
+                                     scatter_dtype=spec.scatter_dtype,
+                                     nearest_corner_grad=spec.fast_grad)
         clip_feat = apply_mlp(params["clip_net"], hc)
     else:
         clip_feat = jnp.zeros(x.shape[:-1] + (spec.clip_dim,), sigma.dtype)

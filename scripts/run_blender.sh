@@ -31,7 +31,7 @@ min_near=${min_near:-0.2}
 data_dir=${data_dir:-data/nerf_synthetic/$SCENE}
 nerf_model=${nerf_model:-results/$SCENE}
 
-COMMON="--bound $bound --scale $scale --dt_gamma 0 --density_thresh $density_thresh --min_near $min_near -O"
+COMMON="--bound $bound --scale $scale --dt_gamma 0 --density_thresh $density_thresh --min_near $min_near -O --fast_grad"
 
 case $MODE in
   nerf)
