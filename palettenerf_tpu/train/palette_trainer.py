@@ -467,7 +467,7 @@ class PaletteTrainer(Trainer):
             cf = cf - cf.mean(0)
             u, s, vt = np.linalg.svd(cf, full_matrices=False)
             proj = (u[:, :3] * s[:3]).reshape(*out["image"].shape[:2], 3)
-            proj = (proj - proj.min()) / (proj.ptp() + 1e-8)
+            proj = (proj - proj.min()) / (np.ptp(proj) + 1e-8)  # ndarray.ptp removed in NumPy 2.0
             self._save_image(base + "_clip_pca.png", proj)
 
     def test(self, test_ds, save_path=None, name=None, write_video: bool = True):

@@ -1,7 +1,6 @@
 #!/bin/bash
-# Blender-scene dispatch, mirroring reference scripts/run_blender.sh:
-#   run_blender.sh <configfile> -m {nerf|extract|palette} [-t] [-v] [-g]
-# Per-scene variables come from scripts/configs_blender/<scene>.sh.
+# LLFF-scene dispatch, mirroring reference scripts/run_llff.sh:
+#   run_llff.sh <configfile> -m {nerf|extract|palette} [-t] [-v] [-g]
 CONFIGFILE=$1
 shift
 
@@ -45,8 +44,10 @@ if [[ $model == 'nerf' ]]; then
     --scale ${scale} \
     --bg_radius ${bg_radius} \
     --density_thresh ${density_thresh} \
+    --lambda_sparse ${lambda_sparse} \
+    --min_near ${min_near} \
+    --no_bg \
     -O \
-    --dt_gamma 0 \
     $test_mode
 elif [[ $model == 'extract' ]]; then
     python main_palette.py \
@@ -57,6 +58,7 @@ elif [[ $model == 'extract' ]]; then
     --scale ${scale} \
     --bg_radius ${bg_radius} \
     --density_thresh ${density_thresh} \
+    --min_near ${min_near} \
     --extract_palette \
     --use_normalized_palette
 elif [[ $model == 'palette' ]]; then
@@ -70,11 +72,11 @@ elif [[ $model == 'palette' ]]; then
     --offset ${offset} \
     --bg_radius ${bg_radius} \
     --density_thresh ${density_thresh} \
+    --min_near ${min_near} \
     --random_size ${random_size} \
     --use_initialization_from_rgbxy \
     --use_normalized_palette \
-    --dt_gamma 0 \
-    --datatype "blender" \
+    --datatype "llff" \
     $test_mode
 else
     echo "Invalid model. Options are: nerf, extract, palette"

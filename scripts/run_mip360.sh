@@ -1,7 +1,7 @@
 #!/bin/bash
-# Blender-scene dispatch, mirroring reference scripts/run_blender.sh:
-#   run_blender.sh <configfile> -m {nerf|extract|palette} [-t] [-v] [-g]
-# Per-scene variables come from scripts/configs_blender/<scene>.sh.
+# Mip-360-scene dispatch, mirroring reference scripts/run_mip360.sh (incl. the
+# palette_lseg mode that trains with LSeg CLIP-feature prediction, :134-157):
+#   run_mip360.sh <configfile> -m {nerf|extract|palette|palette_lseg} [-t] [-v] [-g]
 CONFIGFILE=$1
 shift
 
@@ -45,8 +45,11 @@ if [[ $model == 'nerf' ]]; then
     --scale ${scale} \
     --bg_radius ${bg_radius} \
     --density_thresh ${density_thresh} \
+    --lambda_sparse ${lambda_sparse} \
+    --min_near ${min_near} \
     -O \
-    --dt_gamma 0 \
+    --no_bg \
+    --filter_close_point \
     $test_mode
 elif [[ $model == 'extract' ]]; then
     python main_palette.py \
@@ -57,6 +60,7 @@ elif [[ $model == 'extract' ]]; then
     --scale ${scale} \
     --bg_radius ${bg_radius} \
     --density_thresh ${density_thresh} \
+    --min_near ${min_near} \
     --extract_palette \
     --use_normalized_palette
 elif [[ $model == 'palette' ]]; then
@@ -70,12 +74,31 @@ elif [[ $model == 'palette' ]]; then
     --offset ${offset} \
     --bg_radius ${bg_radius} \
     --density_thresh ${density_thresh} \
+    --min_near ${min_near} \
     --random_size ${random_size} \
     --use_initialization_from_rgbxy \
     --use_normalized_palette \
-    --dt_gamma 0 \
-    --datatype "blender" \
+    --datatype "mip360" \
+    $test_mode
+elif [[ $model == 'palette_lseg' ]]; then
+    python main_palette.py \
+    $data_dir \
+    $nerf_model \
+    -O \
+    --iters ${iters} \
+    --bound ${bound} \
+    --scale ${scale} \
+    --offset ${offset} \
+    --bg_radius ${bg_radius} \
+    --density_thresh ${density_thresh} \
+    --min_near ${min_near} \
+    --random_size ${random_size} \
+    --use_initialization_from_rgbxy \
+    --use_normalized_palette \
+    --datatype "mip360" \
+    --pred_clip \
+    --clip_dim 16 \
     $test_mode
 else
-    echo "Invalid model. Options are: nerf, extract, palette"
+    echo "Invalid model. Options are: nerf, extract, palette, palette_lseg"
 fi
