@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter_close_point", action="store_true")
 
     # TPU-specific knobs
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel: shard the ray batch over this many chips")
     p.add_argument("--train_samples_per_ray", type=int, default=64)
     p.add_argument("--infer_samples_per_ray", type=int, default=256)
     p.add_argument("--eval_interval", type=int, default=50)

@@ -128,6 +128,7 @@ class Config:
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)
+    n_devices: int = 1                  # DP: shard the ray batch over this many chips
     ema_decay: float = 0.95
     eval_interval: int = 50
     max_keep_ckpt: int = 2

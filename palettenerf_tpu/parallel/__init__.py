@@ -1,3 +1,3 @@
-from .mesh import make_mesh, replicated, shard_batch
+from .mesh import make_mesh, replicated, shard_batch, shard_rays
 
-__all__ = ["make_mesh", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "replicated", "shard_batch", "shard_rays"]

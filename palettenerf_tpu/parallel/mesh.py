@@ -37,19 +37,12 @@ def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def dp_shard_fn(fn, mesh: Mesh, batch_argnums, *, axis: str = "dp", donate_argnums=()):
-    """jit ``fn`` with ray-batch args sharded over ``axis`` and everything else
-    replicated. XLA handles the cross-device reductions implied by mean-losses."""
-    rep = replicated(mesh)
-    shard = shard_batch(mesh, axis)
-
-    def in_sharding_for(i):
-        return shard if i in batch_argnums else rep
-
-    # We don't know arity statically; rely on jit's per-argument sharding via
-    # the in_shardings pytree prefix at call time instead.
-    def wrapped(*args):
-        in_shardings = tuple(in_sharding_for(i) for i in range(len(args)))
-        return jax.jit(fn, in_shardings=in_shardings, donate_argnums=donate_argnums)(*args)
-
-    return wrapped
+def shard_rays(mesh: Optional[Mesh], *arrays, axis: str = "dp"):
+    """Constrain leading (ray) dim of each array to be sharded over the mesh axis;
+    no-op when mesh is None. Used INSIDE jitted train steps — XLA then partitions
+    the downstream render/grad compute over rays and inserts the grad psum."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    s = NamedSharding(mesh, P(axis))
+    out = tuple(jax.lax.with_sharding_constraint(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .baking import BakedVolume
-from .palette_renderer import RegionEdit, apply_region_edit, make_region_edit
+from .palette_renderer import RegionEdit, make_region_edit
 
 
 class SweepVolume(NamedTuple):
@@ -59,18 +59,22 @@ class SweepVolume(NamedTuple):
     occ: Tuple[jnp.ndarray, ...]         # 3 x [Z] bool — slice has any density
 
 
-# channel layout inside vols (mirrors baking.fuse_volume):
-#   nerf:    [sigma, diffuse(3)]                              C = 4
-#   palette: [sigma, diffuse(3), omega(P), offsets(3P), rad]  C = 5 + 4P
+# channel layout inside vols:
+#   nerf:    [sigma, diffuse(3)]                      C = 4
+#   palette: [sigma, omega(P), offsets(3P), radiance] C = 2 + 4P
+# (palette drops diffuse — the sweep's blend never reads it, and matmul cost is
+#  linear in C; render_baked/fuse_volume keep their own layout for the aux paths)
 
 
 def build_sweep_volume(baked: BakedVolume, sigma_thresh: float = 1e-3) -> SweepVolume:
     R = baked.resolution
-    parts = [baked.density[..., None], baked.diffuse]
     P = 0
     if baked.omega is not None:
         P = baked.omega.shape[-1]
-        parts += [baked.omega, baked.offsets, baked.radiance[..., None]]
+        parts = [baked.density[..., None], baked.omega, baked.offsets,
+                 baked.radiance[..., None]]
+    else:
+        parts = [baked.density[..., None], baked.diffuse]
     vol4 = jnp.concatenate(parts, -1)  # [R, R, R, C] world-axis order
 
     vols, occs = [], []
@@ -162,7 +166,44 @@ def _interp_matrix(src: jnp.ndarray, n_src: int) -> jnp.ndarray:
     return w.astype(jnp.bfloat16)
 
 
-@partial(jax.jit, static_argnames=("num_basis", "u_res", "t_thresh", "weight_mode"))
+def _hsv_edit_planar(r, g, b, dh, ds, dv, wgt):
+    """Fused per-sample RegionEdit recolor on planar [P, U, U] channel arrays.
+
+    Single-pass rgb->hsv->(H+dh, S*ds, V*dv)->rgb with the weight lerp, matching
+    apply_region_edit / reference palette/renderer.py:121-147 — but ~2x fewer ops
+    than the stacked round trip and shaped for clean (8,128) VPU tiling (the
+    [..., 3]-stacked form measured ~51 ms/frame of the sweep; this form ~20 ms).
+    dh/ds/dv are per-basis [P, 1, 1]; wgt is the spatial mask [1, U, U].
+    """
+    cmax = jnp.maximum(jnp.maximum(r, g), b)
+    cmin = jnp.minimum(jnp.minimum(r, g), b)
+    diff = cmax - cmin
+    safe = jnp.where(diff == 0, 1.0, diff)
+    h = jnp.where(
+        diff == 0, 0.0,
+        jnp.where(cmax == r, jnp.mod(60.0 * (g - b) / safe + 360.0, 360.0),
+                  jnp.where(cmax == g, 60.0 * (b - r) / safe + 120.0,
+                            60.0 * (r - g) / safe + 240.0)))
+    s = jnp.clip(jnp.where(cmax == 0, 0.0, diff / jnp.where(cmax == 0, 1.0, cmax)) * ds,
+                 0.0, None)
+    v = jnp.clip(cmax * dv, 0.0, None)
+
+    h2 = jnp.mod(h + dh, 360.0) / 60.0
+    i = jnp.floor(h2)
+    f = h2 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    sel = [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5]
+    r2 = jnp.select(sel, [v, q, p, p, t, v])
+    g2 = jnp.select(sel, [t, v, v, q, p, p])
+    b2 = jnp.select(sel, [p, p, t, v, v, q])
+    return r + wgt * (r2 - r), g + wgt * (g2 - g), b + wgt * (b2 - b)
+
+
+@partial(jax.jit, static_argnames=(
+    "num_basis", "u_res", "t_thresh", "weight_mode", "has_edit", "skip", "unroll"))
 def _sweep_composite(
     vol,            # [Z, X, Y, C] bf16
     occ,            # [Z] bool
@@ -179,6 +220,9 @@ def _sweep_composite(
     u_res: int,
     t_thresh: float,
     weight_mode: bool,
+    has_edit: bool = True,
+    skip: str = "slice",   # none | slice | block — lax.cond granularity
+    unroll: int = 1,
 ):
     """Front-to-back sweep over slices; returns intermediate maps
     [U, U, 5] = (rgb, depth_abs, weights_sum), rows = grid-y, cols = grid-x."""
@@ -206,19 +250,34 @@ def _sweep_composite(
         sigma = feat[..., 0] * density_scale
         if P == 0:
             return sigma, feat[..., 1:4]
-        om = feat[..., 4:4 + P]
-        off = feat[..., 4 + P:4 + 4 * P].reshape(feat.shape[:-1] + (P, 3))
-        rad = feat[..., 4 + 4 * P:4 + 4 * P + 1]
+        # planar [P, U, U] layout: elementwise color math on [..., 3]/[..., P]
+        # minors is tile-padded on TPU; channel planes keep the VPU at full rate
+        om = jnp.moveaxis(feat[..., 1:1 + P], -1, 0)              # [P, U, U]
+        off_r = jnp.moveaxis(feat[..., 1 + P + 0:1 + 4 * P:3], -1, 0)
+        off_g = jnp.moveaxis(feat[..., 1 + P + 1:1 + 4 * P:3], -1, 0)
+        off_b = jnp.moveaxis(feat[..., 1 + P + 2:1 + 4 * P:3], -1, 0)
+        srad = jax.nn.softplus(feat[..., 1 + 4 * P])[None]        # [1, U, U]
         bc = jnp.clip(basis_color, 0.0, 1.0)
-        final = jax.nn.softplus(rad)[..., None] * (bc + offsets_weight * off)
-        # RegionEdit per sample. xyz is in the PERMUTED frame; render_sweep permutes
-        # edit.mean_xyz to match (the gaussian is isotropic, so distances agree).
-        pxs = o_p[1] + (qx - o_p[1]) * lam
-        pys = o_p[2] + (qy - o_p[2]) * lam
-        xyz_p = jnp.stack([jnp.full((U, U), zk), pxs, pys], -1)
-        clip_dummy = jnp.zeros((U, U, edit.mean_clip.shape[0]), jnp.float32)
-        final = apply_region_edit(edit, final, xyz_p, clip_dummy)
-        rgb = (om[..., None] * final).sum(-2)
+        fr = srad * (bc[:, 0, None, None] + offsets_weight * off_r)
+        fg = srad * (bc[:, 1, None, None] + offsets_weight * off_g)
+        fb = srad * (bc[:, 2, None, None] + offsets_weight * off_b)
+        if has_edit:
+            # RegionEdit per sample. xyz is in the PERMUTED frame; render_sweep
+            # permutes edit.mean_xyz to match (isotropic gaussian -> same distance).
+            pxs = o_p[1] + (qx - o_p[1]) * lam
+            pys = o_p[2] + (qy - o_p[2]) * lam
+            mx = edit.mean_xyz
+            d2 = (zk - mx[0]) ** 2 + (pxs - mx[1]) ** 2 + (pys - mx[2]) ** 2
+            wgt = jnp.where(edit.use_xyz, jnp.exp(-d2 / edit.std_xyz), 1.0)[None]
+            if weight_mode:
+                # visualize the mask instead of recoloring (renderer.py:144-147)
+                w_rgb = (om * wgt).sum(0)
+                return sigma, jnp.stack([w_rgb] * 3, -1)
+            dh = edit.delta_hsv[:, 0, None, None]
+            ds = edit.delta_hsv[:, 1, None, None]
+            dv = edit.delta_hsv[:, 2, None, None]
+            fr, fg, fb = _hsv_edit_planar(fr, fg, fb, dh, ds, dv, wgt)
+        rgb = jnp.stack([(om * fr).sum(0), (om * fg).sum(0), (om * fb).sum(0)], -1)
         return sigma, rgb
 
     def do_slice(k_eff, T, rgb_acc, depth_acc):
@@ -248,25 +307,49 @@ def _sweep_composite(
         T = T * (1.0 - alpha)
         return T, rgb_acc, depth_acc
 
+    # skip granularity: lax.cond once per BLOCK of slices (per-slice conds and their
+    # t_max reductions measurably slow the scan); the per-pixel `valid` mask still
+    # gives exact per-sample early termination inside a block.
+    BLK = 8
+
     def step(carry, k):
-        T, rgb_acc, depth_acc, t_max = carry
+        T, rgb_acc, depth_acc = carry
         k_eff = jnp.where(flip, Z - 1 - k, k)
 
         def run(_):
-            T2, r2, d2 = do_slice(k_eff, T, rgb_acc, depth_acc)
-            return T2, r2, d2, jnp.max(T2)
+            return do_slice(k_eff, T, rgb_acc, depth_acc)
 
-        def skip(_):
-            return T, rgb_acc, depth_acc, t_max
+        def skp(_):
+            return T, rgb_acc, depth_acc
 
-        pred = occ[k_eff] & (t_max > t_thresh)
-        return jax.lax.cond(pred, run, skip, None), None
+        if skip == "slice":
+            pred = occ[k_eff] & (jnp.max(T) > t_thresh)
+            return jax.lax.cond(pred, run, skp, None), None
+        return run(None), None
+
+    def block_step(carry, kb):
+        def run(c):
+            return jax.lax.scan(step, c, kb * BLK + jnp.arange(BLK), unroll=unroll)[0]
+
+        def skp(c):
+            return c
+
+        # occupancy of the block under either sweep direction
+        k_eff = jnp.where(flip, Z - 1 - (kb * BLK + jnp.arange(BLK)),
+                          kb * BLK + jnp.arange(BLK))
+        pred = occ[k_eff].any() & (jnp.max(carry[0]) > t_thresh)
+        return jax.lax.cond(pred, run, skp, carry), None
 
     T0 = jnp.ones((U, U), jnp.float32)
     rgb0 = jnp.zeros((U, U, 3), jnp.float32)
     d0 = jnp.zeros((U, U), jnp.float32)
-    (T, rgb_acc, depth_acc, _), _ = jax.lax.scan(
-        step, (T0, rgb0, d0, jnp.float32(1.0)), jnp.arange(Z))
+    carry0 = (T0, rgb0, d0)
+    if skip == "block" and Z % BLK == 0:
+        (T, rgb_acc, depth_acc), _ = jax.lax.scan(
+            block_step, carry0, jnp.arange(Z // BLK))
+    else:
+        (T, rgb_acc, depth_acc), _ = jax.lax.scan(
+            step, carry0, jnp.arange(Z), unroll=(unroll if skip == "none" else 1))
     ws = 1.0 - T
     return jnp.concatenate(
         [rgb_acc, depth_acc[..., None], ws[..., None]], -1)       # [U, U, 5]
@@ -348,6 +431,8 @@ def render_sweep(
     min_near: float = 0.05,
     t_thresh: float = 1e-2,
     density_scale: float = 1.0,
+    skip: str = "slice",
+    unroll: int = 1,
 ):
     """Render one frame from a SweepVolume. Palette mode iff ``sv.num_basis > 0``
     (then ``basis_color`` [P,3] is required — pass *edited* colors for recoloring).
@@ -363,8 +448,13 @@ def render_sweep(
         bc = jnp.asarray(basis_color, jnp.float32)
     else:
         bc = jnp.zeros((1, 3), jnp.float32)
+    has_edit = edit is not None
     if edit is None:
         edit = make_region_edit(max(P, 1), clip_dim=1)
+    elif bool(np.asarray(edit.use_clip)):
+        raise ValueError(
+            "semantic (clip-feature) edit weights are not baked into SweepVolumes — "
+            "use render_palette_eval for clip-weighted edits")
     # the sweep sees permuted-frame sample positions; permute the edit center too
     edit_p = edit._replace(
         mean_xyz=jnp.asarray(edit.mean_xyz)[jnp.asarray(plan.perm, jnp.int32)])
@@ -377,7 +467,8 @@ def render_sweep(
         jnp.float32(offsets_weight), jnp.float32(density_scale),
         jnp.float32(min_near), jnp.float32(sv.bound),
         num_basis=P, u_res=u_res, t_thresh=float(t_thresh),
-        weight_mode=bool(edit.weight_mode),
+        weight_mode=bool(edit.weight_mode), has_edit=has_edit,
+        skip=skip, unroll=unroll,
     )
     return _warp_to_screen(
         inter, jnp.asarray(plan.o_p), jnp.asarray(plan.rot_p),

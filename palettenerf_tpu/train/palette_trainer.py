@@ -119,11 +119,15 @@ class PaletteTrainer(Trainer):
             sw = jax.lax.stop_gradient(jnp.exp(-(xyz_w + rgb_w)))
             return (((o0 - o1) ** 2).sum(-1, keepdims=True) * sw).mean()
 
+        from ..parallel.mesh import shard_rays
+        mesh = self.mesh
+
         def train_step(params, opt_state, ema, bitfield, key, rays_o, rays_d,
                        images, gt_feat, inds, lambda_weight, lambda_palette,
                        freeze_basis_color, require_smooth_loss):
             # freeze/smooth are static bools via partial-jit below
             k_bg, k_render = jax.random.split(key)
+            rays_o, rays_d, images = shard_rays(mesh, rays_o, rays_d, images)
             c = images.shape[-1]
             img = images
             if opt.color_space == "linear":
@@ -209,6 +213,7 @@ class PaletteTrainer(Trainer):
                     gt = pix[..., :3]
                 gt_feat = feats[idx][inds] if feats is not None else None
                 rays_o, rays_d = gen_rays_jnp(poses[idx], intrinsics, H, W, inds)
+                rays_o, rays_d, gt = shard_rays(mesh, rays_o, rays_d, gt)
 
                 def loss_fn(p):
                     out = render_palette_train(

@@ -84,6 +84,17 @@ class Trainer:
         except Exception:
             pass
 
+        # data-parallel ray sharding over a device mesh (SURVEY.md §2.3: replicated
+        # params + ray-DP is the optimal mapping for this model family)
+        self.mesh = None
+        if opt.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            assert opt.num_rays % opt.n_devices == 0, (
+                f"num_rays={opt.num_rays} must divide n_devices={opt.n_devices}")
+            self.mesh = make_mesh(opt.n_devices, axis="dp")
+            self.log(f"[INFO] DP mesh over {opt.n_devices} devices (ray-sharded)")
+
         self.key = jax.random.PRNGKey(opt.seed)
         if params is None:
             self.key, k = jax.random.split(self.key)
@@ -138,8 +149,12 @@ class Trainer:
         eset = self.eval_settings
         decay = self.ema_decay
 
+        from ..parallel.mesh import shard_rays
+        mesh = self.mesh
+
         def train_step(params, opt_state, ema, bitfield, key, rays_o, rays_d, images):
             k_bg, k_pt = jax.random.split(key)
+            rays_o, rays_d, images = shard_rays(mesh, rays_o, rays_d, images)
             c = images.shape[-1]
             img = images
             if opt.color_space == "linear":
@@ -246,6 +261,7 @@ class Trainer:
                     bg = jnp.ones((3,), jnp.float32)
                     gt = pix[..., :3]
                 rays_o, rays_d = gen_rays_jnp(poses[idx], intrinsics, H, W, inds)
+                rays_o, rays_d, gt = shard_rays(mesh, rays_o, rays_d, gt)
                 loss_fn = loss_fn_factory(bitfield, gt, bg, k_pt)
                 (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, rays_o, rays_d)
@@ -576,10 +592,14 @@ class Trainer:
     # ------------------------------------------------------------------ checkpoints
 
     def _ckpt_state(self):
+        # full training state (reference full=True, nerf/utils.py:1090-1102): the
+        # optimizer moments + step count and the PRNG key make resume bit-continuous
         return {
             "ema_params": self.ema_params,
             "grid_state": self.grid_state._asdict(),
             "stats": self.stats,
+            "opt_state": self.opt_state,
+            "prng_key": np.asarray(self.key),
         }
 
     def save_checkpoint(self, best: bool = False):
@@ -630,6 +650,24 @@ class Trainer:
                 jnp.asarray(gs["density_grid"]), jnp.asarray(gs["bitfield"]),
                 jnp.asarray(gs["mean_density"]), jnp.asarray(gs["iter_density"]),
             )
+        if "opt_state" in data:
+            try:
+                fresh_leaves = jax.tree_util.tree_leaves(self.opt_state)
+                saved_leaves = jax.tree_util.tree_leaves(data["opt_state"])
+                ok = len(fresh_leaves) == len(saved_leaves) and all(
+                    getattr(a, "shape", ()) == getattr(b, "shape", ())
+                    for a, b in zip(fresh_leaves, saved_leaves))
+                if ok:
+                    self.opt_state = jax.tree_util.tree_map(
+                        jnp.asarray, data["opt_state"])
+                else:
+                    self.log("[WARN] checkpoint optimizer state shape mismatch — "
+                             "restarting Adam moments")
+            except Exception as e:
+                self.log(f"[WARN] optimizer state restore failed ({e}) — "
+                         "restarting Adam moments")
+        if "prng_key" in data:
+            self.key = jnp.asarray(data["prng_key"])
         self.log(f"[INFO] loaded checkpoint {path} (epoch {self.epoch}, step {self.global_step})")
 
 
