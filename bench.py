@@ -4,7 +4,10 @@ Headline metric (BASELINE.md): 800x800 **palette-edited** rendering FPS on the
 attached chip, with an ACTIVE RegionEdit (spatial gaussian mask + per-basis hue
 shift) — the serving path a PaletteNeRF user actually runs. Rendered by the
 shear-warp sweep renderer (render/sweep.py) from a baked palette volume
-(R=256, P=6, sphere-shaped occupancy ~ a converged Blender scene).
+(R=256, P=6, sphere-shaped occupancy ~ a converged Blender scene). Intermediate-plane
+resolution u_res=448 for the 800px output: the R=256 volume is the detail
+limit (measured 45.16 dB vs a 384-sample per-ray golden at u448 vs 45.28 dB
+at u512 and 45.25 dB at u640 — the sweep resample is not the bottleneck).
 ``vs_baseline`` = measured_fps / 30.
 
 Secondary keys: plain NeRF sweep FPS and stage-1 train throughput (scanned fast
@@ -59,7 +62,7 @@ def make_sweep_volume(R=256, P=6):
     return build_sweep_volume(baked)
 
 
-def bench_palette_edit(sv, H=800, W=800, u_res=512, n_frames=15, reps=3):
+def bench_palette_edit(sv, H=800, W=800, u_res=448, n_frames=15, reps=4):
     import jax.numpy as jnp
 
     from palettenerf_tpu.render.palette_renderer import make_region_edit
@@ -80,19 +83,23 @@ def bench_palette_edit(sv, H=800, W=800, u_res=512, n_frames=15, reps=3):
 
     out = frame(0)
     _ = float(out["image"].sum())  # compile + sync
+    out = frame(7)
+    _ = float(out["image"].sum())  # second sweep-flip variant compiles too
 
     best = np.inf
     for r in range(reps):
-        outs = []
         t0 = time.perf_counter()
         for i in range(n_frames):
-            outs.append(frame(i + r * n_frames))
-        _ = [float(o["image"][0, 0, 0]) for o in outs]
+            out = frame(i + r * n_frames)
+        # one scalar readback syncs the whole rep: the chip executes dispatches
+        # in order, so the last frame's result completing implies all did. A
+        # per-frame readback would add a ~29 ms tunnel round-trip to every frame.
+        _ = float(out["image"][0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / n_frames)
     return 1.0 / best
 
 
-def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=512, n_frames=10):
+def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=448, n_frames=10):
     from palettenerf_tpu.render.sweep import render_sweep
 
     intr = (H * 0.9, H * 0.9, W / 2, H / 2)
@@ -103,15 +110,14 @@ def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=512, n_frames=10):
 
     out = frame(0)
     _ = float(out["image"].sum())
-    outs = []
     t0 = time.perf_counter()
     for i in range(n_frames):
-        outs.append(frame(i + 1))
-    _ = [float(o["image"][0, 0, 0]) for o in outs]
+        out = frame(i + 1)
+    _ = float(out["image"][0, 0, 0])  # sync once — see bench_palette_edit
     return n_frames / (time.perf_counter() - t0)
 
 
-def bench_train_steps(n_steps=48, num_rays=4096, samples=64):
+def bench_train_steps(n_steps=16, num_rays=4096, samples=64):
     """Stage-1 scanned train throughput at the reference's default batch size."""
     import jax
     import jax.numpy as jnp
@@ -158,7 +164,9 @@ def bench_train_steps(n_steps=48, num_rays=4096, samples=64):
         return params, opt_state, losses
 
     fn = jax.jit(scan_steps, static_argnums=(3,), donate_argnums=(0, 1))
-    params, opt_state, losses = fn(params, opt_state, jax.random.PRNGKey(1), 4)
+    # warm up with the SAME k_steps — a different scan length is a different
+    # static arg and would put a recompile inside the timed region
+    params, opt_state, losses = fn(params, opt_state, jax.random.PRNGKey(1), n_steps)
     _ = float(losses.sum())  # compile + sync
     t0 = time.perf_counter()
     params, opt_state, losses = fn(params, opt_state, jax.random.PRNGKey(2), n_steps)
@@ -193,7 +201,7 @@ def main():
         import jax.numpy as jnp
         R = sv.resolution
         # reuse density from the palette volume's first axis copy (channel 0)
-        dens = sv.vols[0][..., 0].astype(jnp.float32)
+        dens = sv.vols[0][:, :, 0, :].astype(jnp.float32)  # [Z,X,C,Y] channel 0
         baked_n = BakedVolume(R, 1.0, dens, jnp.zeros((R, R, R, 3)) + 0.5,
                               None, None, None)
         result["nerf_sweep_fps"] = round(bench_nerf_sweep(build_sweep_volume(baked_n)), 3)

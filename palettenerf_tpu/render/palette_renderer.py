@@ -52,15 +52,24 @@ class RegionEdit(NamedTuple):
 def make_region_edit(num_basis: int, clip_dim: int = 16,
                      mean_xyz=None, std_xyz=1.0, mean_clip=None, std_clip=1.0,
                      weight_mode: bool = False) -> RegionEdit:
-    dh = jnp.zeros((num_basis, 3)).at[:, 1:].set(1.0)
+    # HOST (numpy) arrays: jit paths accept them as inputs transparently, and the
+    # sweep renderer reads the scalar fields on the host every frame — numpy
+    # fields avoid a device->host sync per read (delta_hsv may be either; it is
+    # only ever passed INTO jit).
+    import numpy as _np
+
+    dh = _np.zeros((num_basis, 3), _np.float32)
+    dh[:, 1:] = 1.0
     return RegionEdit(
         delta_hsv=dh,
-        mean_xyz=jnp.zeros(3) if mean_xyz is None else jnp.asarray(mean_xyz, jnp.float32),
-        use_xyz=jnp.asarray(mean_xyz is not None),
-        std_xyz=jnp.asarray(float(std_xyz)),
-        mean_clip=jnp.zeros(clip_dim) if mean_clip is None else jnp.asarray(mean_clip, jnp.float32),
-        use_clip=jnp.asarray(mean_clip is not None),
-        std_clip=jnp.asarray(float(std_clip)),
+        mean_xyz=_np.zeros(3, _np.float32) if mean_xyz is None
+        else _np.asarray(mean_xyz, _np.float32),
+        use_xyz=_np.asarray(mean_xyz is not None),
+        std_xyz=_np.asarray(float(std_xyz), _np.float32),
+        mean_clip=_np.zeros(clip_dim, _np.float32) if mean_clip is None
+        else _np.asarray(mean_clip, _np.float32),
+        use_clip=_np.asarray(mean_clip is not None),
+        std_clip=_np.asarray(float(std_clip), _np.float32),
         weight_mode=weight_mode,
     )
 

@@ -225,3 +225,24 @@ def test_plan_picks_major_axis():
     for eye, want in [((0, 0, -3), 2), ((3, 0.2, 0), 0), ((0.1, 3, 0.2), 1)]:
         plan = plan_sweep(look_at_pose(eye), INTR, HW, HW, BOUND, 128)
         assert plan.axis == want
+
+
+def test_sweep_block_skip_matches_per_slice():
+    """skip='block' (slab-granularity lax.cond) vs skip='slice': identical math,
+    only the skip predicate granularity differs — must agree to rounding."""
+    baked = make_palette_baked()
+    sv = build_sweep_volume(baked)
+    bc = np.array([[0.9, 0.2, 0.1], [0.1, 0.8, 0.3], [0.2, 0.3, 0.9], [0.8, 0.8, 0.2]])
+    edit = make_region_edit(P, clip_dim=1, mean_xyz=(0.1, 0.0, 0.0), std_xyz=0.4)
+    edit = edit._replace(delta_hsv=jnp.asarray(
+        [[90.0, 1.0, 1.0], [0.0, 0.7, 1.2], [200.0, 1.0, 0.8], [0.0, 1.0, 1.0]]))
+    for eye in [(0.0, 0.1, -2.6), (2.4, 0.8, 0.9)]:  # covers flip both ways
+        pose = look_at_pose(eye)
+        a = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc,
+                         edit=edit, skip="block")
+        b = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc,
+                         edit=edit, skip="slice")
+        p = _psnr(a["image"], b["image"])
+        assert p > 45.0, f"block vs per-slice PSNR {p:.2f} (eye {eye})"
+        assert np.mean(np.abs(np.asarray(a["weights_sum"])
+                              - np.asarray(b["weights_sum"]))) < 5e-3
