@@ -96,7 +96,7 @@ def main(argv=None):
     from palettenerf_tpu.config import Config
     from palettenerf_tpu.data.provider import NeRFDataset
     from palettenerf_tpu.models.nerf import NeRFSpec
-    from palettenerf_tpu.train.metrics import LPIPSMeter, PSNRMeter, SSIMMeter
+    from palettenerf_tpu.train.metrics import LPIPSMeter, PSNRMeter, RLPIPSMeter, SSIMMeter
     from palettenerf_tpu.train.trainer import Trainer
 
     opt = build_parser().parse_args(argv)
@@ -113,7 +113,7 @@ def main(argv=None):
     workspace = resolve_workspace("results", cfg.workspace, cfg.version_id, cfg.test)
 
     if cfg.test:
-        metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter()]
+        metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter(), RLPIPSMeter()]
         trainer = Trainer("ngp", cfg, spec, workspace=workspace, metrics=metrics,
                           use_checkpoint=cfg.ckpt)
         if cfg.gui:
@@ -130,7 +130,7 @@ def main(argv=None):
     else:
         train_ds = NeRFDataset(cfg, type="train")
         valid_ds = NeRFDataset(cfg, type="val", downscale=1)
-        metrics = [PSNRMeter(), LPIPSMeter()]
+        metrics = [PSNRMeter(), LPIPSMeter(), RLPIPSMeter()]
         trainer = Trainer("ngp", cfg, spec, workspace=workspace, metrics=metrics,
                           use_checkpoint=cfg.ckpt, ema_decay=0.95,
                           eval_interval=cfg.eval_interval)

@@ -141,7 +141,7 @@ def main(argv=None):
     from palettenerf_tpu.models.nerf import NeRFSpec
     from palettenerf_tpu.models.palette import PaletteSpec
     from palettenerf_tpu.train.metrics import (
-        LPIPSMeter, PSNRMeter, SparsityMeter, SSIMMeter, TVMeter,
+        LPIPSMeter, PSNRMeter, RLPIPSMeter, SparsityMeter, SSIMMeter, TVMeter,
     )
     from palettenerf_tpu.train.palette_trainer import PaletteTrainer
     from palettenerf_tpu.train.trainer import Trainer
@@ -194,7 +194,7 @@ def main(argv=None):
     )
 
     if cfg.test:
-        metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter(), TVMeter(), SparsityMeter()]
+        metrics = [PSNRMeter(), SSIMMeter(), LPIPSMeter(), RLPIPSMeter(), TVMeter(), SparsityMeter()]
         trainer = PaletteTrainer("palette", cfg, spec, workspace=workspace,
                                  metrics=metrics, use_checkpoint=cfg.ckpt, nerf_path=None)
         if trainer.params.get("hist_weights") is None and extracted_hist is not None:
@@ -215,7 +215,7 @@ def main(argv=None):
             trainer.test(test_ds, write_video=False)
     else:
         trainer = PaletteTrainer("palette", cfg, spec, workspace=workspace,
-                                 metrics=[PSNRMeter(), LPIPSMeter()],
+                                 metrics=[PSNRMeter(), LPIPSMeter(), RLPIPSMeter()],
                                  use_checkpoint=cfg.ckpt, nerf_path=nerf_path,
                                  ema_decay=0.95, eval_interval=cfg.eval_interval)
         trainer.initialize_palette(extracted_palette, extracted_hist)

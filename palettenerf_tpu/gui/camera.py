@@ -42,3 +42,14 @@ class OrbitCamera:
 
     def pan(self, dx: float, dy: float, dz: float = 0):
         self.center += 5e-4 * self.rot.as_matrix()[:3, :3] @ np.array([dx, dy, dz])
+
+    def set_pose(self, pose: np.ndarray):
+        """Teleport to a dataset c2w pose (the reference's test-pose jump,
+        palette/gui.py:401-427): decompose into rotation + look-at center so the
+        orbit controls keep working from the new viewpoint."""
+        pose = np.asarray(pose, np.float64)
+        self.rot = Rotation.from_matrix(pose[:3, :3])
+        eye = pose[:3, 3]
+        fwd = pose[:3, :3] @ np.array([0.0, 0.0, 1.0])
+        self.center = -(eye + fwd * self.radius).astype(np.float32)
+        self.radius = float(self.radius)

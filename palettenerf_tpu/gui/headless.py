@@ -50,8 +50,17 @@ class EditingSession:
         self.clip_dim = trainer.palette_spec.clip_dim
         self._edit = make_region_edit(self.num_basis, self.clip_dim)
         self._stylizer: Optional[StylizerParams] = None
+        self._style_enabled = True
         self._weights = (1.0, 1.0)  # offsets_weight, view_dep_weight
         self._last_frame = None
+        # dynamic-resolution + spp-accumulation state (render_dynamic)
+        self._downscale = 1.0
+        self.min_downscale = 0.25
+        self._acc_pose = None
+        self._acc_image = None
+        self._spp = 0
+        # style correspondences: list of (ray_o, ray_d, target_rgb)
+        self._corr = []
         self._push()
 
     # ---------------- edit state ----------------
@@ -89,7 +98,8 @@ class EditingSession:
 
     def _push(self):
         self.trainer.set_edit(
-            edit=self._edit, stylizer=self._stylizer,
+            edit=self._edit,
+            stylizer=self._stylizer if self._style_enabled else None,
             offsets_weight=self._weights[0], view_dep_weight=self._weights[1],
         )
 
@@ -120,6 +130,105 @@ class EditingSession:
             "clip_feat": np.asarray(f["clip_feat"][y, x]) if "clip_feat" in f else None,
             "rgb": np.asarray(f["image"][y, x]),
         }
+
+    # ------------- interactive frame pacing (nerf/gui.py:90-141, 240-268) -------------
+
+    def render_dynamic(self, pose: Optional[np.ndarray] = None,
+                       target_ms: float = 100.0) -> dict:
+        """Adaptive-resolution frame: renders at the current downscale and adjusts
+        it so frame time tracks ``target_ms`` (the reference's dynamic-resolution
+        loop, nerf/gui.py:90-112). When the camera is still, accumulates frames
+        into a running mean (spp accumulation, nerf/gui.py:240-268)."""
+        import time as _time
+
+        pose = self.cam.pose if pose is None else np.asarray(pose)
+        t0 = _time.perf_counter()
+        out = self.trainer.test_gui(pose, self.cam.intrinsics, self.cam.W, self.cam.H,
+                                    downscale=self._downscale)
+        dt_ms = (_time.perf_counter() - t0) * 1e3
+
+        moved = self._acc_pose is None or not np.allclose(pose, self._acc_pose)
+        if moved:
+            self._acc_image = np.asarray(out["image"], np.float32)
+            self._spp = 1
+            self._acc_pose = pose.copy()
+        else:
+            img = np.asarray(out["image"], np.float32)
+            if img.shape == self._acc_image.shape:
+                self._spp += 1
+                self._acc_image += (img - self._acc_image) / self._spp
+            else:  # downscale changed between frames — restart accumulation
+                self._acc_image, self._spp = img, 1
+
+        # multiplicative pacing toward the target frame budget, clamped to
+        # the reference's downscale range
+        ratio = np.sqrt(target_ms / max(dt_ms, 1e-3))
+        self._downscale = float(np.clip(self._downscale * np.clip(ratio, 0.7, 1.4),
+                                        self.min_downscale, 1.0))
+        out = dict(out)
+        out["image"] = self._acc_image
+        out["spp"] = self._spp
+        out["frame_ms"] = dt_ms
+        out["downscale"] = self._downscale
+        return out
+
+    # ------------- training / checkpoint / mesh controls (nerf/gui.py:240-370) -------
+
+    def train_burst(self, train_ds, steps: int = 16) -> dict:
+        """One interactive training burst (train-toggle backend)."""
+        return self.trainer.train_gui(train_ds, step=steps)
+
+    def save_checkpoint(self):
+        self.trainer.save_checkpoint()
+
+    def save_mesh(self, resolution: int = 256, threshold: float = 10.0):
+        return self.trainer.save_mesh(resolution=resolution, threshold=threshold)
+
+    def jump_to_pose(self, poses, index: int) -> np.ndarray:
+        """Teleport the orbit camera to dataset pose ``index`` (the reference's
+        test-pose jump, palette/gui.py:401-427). Returns the pose used."""
+        pose = np.asarray(poses[index], np.float32)
+        self.cam.set_pose(pose)
+        return pose
+
+    # ------------- style-transfer correspondence workflow (palette/gui.py:560-659) ---
+
+    def add_correspondence(self, x: int, y: int, target_rgb) -> int:
+        """Record a point -> target-color pair from the current frame (the
+        style-image click workflow). Returns the correspondence count."""
+        if self._last_frame is None:
+            self.render()
+        from ..data.rays import gen_rays
+
+        ro, rd = gen_rays(self.cam.pose, self.cam.intrinsics,
+                          self.cam.H, self.cam.W, None)
+        i = y * self.cam.W + x
+        self._corr.append((np.asarray(ro[i]), np.asarray(rd[i]),
+                           np.asarray(target_rgb, np.float32)))
+        return len(self._corr)
+
+    def clear_correspondences(self):
+        self._corr = []
+
+    def optimize_style(self, iters: int = 1000, lr: float = 1e-2) -> StylizerParams:
+        """Fit the Stylizer to the recorded correspondences and enable it
+        (palette/gui.py:153-194 inline SGD solve)."""
+        assert self._corr, "no correspondences recorded — add_correspondence first"
+        ro = np.stack([c[0] for c in self._corr])
+        rd = np.stack([c[1] for c in self._corr])
+        tgt = np.stack([c[2] for c in self._corr])
+        sty = fit_stylizer(self.trainer, ro, rd, tgt, iters=iters, lr=lr)
+        self.set_stylizer(sty)
+        return sty
+
+    def use_style(self, enabled: bool):
+        """Toggle the fitted stylizer without discarding it (style on/off checkbox)."""
+        self._style_enabled = bool(enabled)
+        self.trainer.set_edit(
+            edit=self._edit,
+            stylizer=self._stylizer if self._style_enabled else None,
+            offsets_weight=self._weights[0], view_dep_weight=self._weights[1],
+        )
 
 
 def fit_stylizer(

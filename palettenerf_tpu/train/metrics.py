@@ -117,8 +117,7 @@ class LPIPSMeter(_MeterBase):
 
     def update(self, preds, truths):
         if self._fn is None:
-            self.N = max(self.N, 1)  # measure() -> 0/NaN-ish but defined
-            return
+            return  # measure() reports nan below
         t = self._torch
         p = t.from_numpy(np.asarray(preds)).permute(0, 3, 1, 2).float()
         g = t.from_numpy(np.asarray(truths)).permute(0, 3, 1, 2).float()
@@ -127,12 +126,81 @@ class LPIPSMeter(_MeterBase):
         self.N += 1
 
     def measure(self):
-        if self._fn is None:
+        if self._fn is None or self.N == 0:
             return float("nan")
         return super().measure()
 
     def report(self):
         return f"LPIPS ({self.net}) = {self.measure():.6f}"
+
+
+class RLPIPSMeter(_MeterBase):
+    """Self-contained perceptual distance with RANDOM (deterministic-seed) conv
+    features — the LPIPS recipe (unit-normalize each conv stage's channels, L2
+    difference, average spatially, sum stages) over an AlexNet-shaped random
+    stack instead of pretrained weights — no checkpoint needs to ship with the
+    image. Random-feature perceptual distances correlate with human judgments
+    substantially better than chance (Amir & Weiss 2021, "Understanding and
+    Simplifying Perceptual Distances"), but this is a PROXY: scores are not
+    comparable to true LPIPS numbers, only across runs of this meter (seed 0).
+
+    Replaces the reference's ``LPIPSMeter(net='alex')`` (nerf/utils.py:256-290)
+    when the ``lpips`` package / weights are unavailable.
+    """
+
+    name = "rLPIPS"
+
+    # (out_channels, kernel, stride) — AlexNet-shaped feature pyramid
+    _TOPOLOGY = ((64, 11, 4), (192, 5, 2), (384, 3, 2), (256, 3, 2), (256, 3, 2))
+
+    def __init__(self, seed: int = 0):
+        super().__init__()
+        import jax
+
+        key = jax.random.PRNGKey(seed)
+        self._kernels = []
+        c_in = 3
+        for c_out, k, _s in self._TOPOLOGY:
+            key, sub = jax.random.split(key)
+            fan_in = c_in * k * k
+            w = jax.random.normal(sub, (c_out, c_in, k, k)) * np.sqrt(2.0 / fan_in)
+            self._kernels.append(w)
+            c_in = c_out
+        self._dist = jax.jit(self._distance)
+
+    def _features(self, x):
+        import jax
+
+        feats = []
+        h = x * 2.0 - 1.0                              # [B, 3, H, W] in [-1, 1]
+        for w, (_c, _k, s) in zip(self._kernels, self._TOPOLOGY):
+            h = jax.lax.conv_general_dilated(h, w, (s, s), "SAME")
+            h = jax.nn.relu(h)
+            feats.append(h)
+        return feats
+
+    def _distance(self, p, g):
+        import jax.numpy as jnp
+
+        total = 0.0
+        for fp, fg in zip(self._features(p), self._features(g)):
+            fp = fp / (jnp.linalg.norm(fp, axis=1, keepdims=True) + 1e-10)
+            fg = fg / (jnp.linalg.norm(fg, axis=1, keepdims=True) + 1e-10)
+            total = total + ((fp - fg) ** 2).sum(1).mean((-2, -1))
+        return total.mean()
+
+    def update(self, preds, truths):
+        p = np.asarray(preds, np.float32)
+        g = np.asarray(truths, np.float32)
+        if p.ndim == 3:
+            p, g = p[None], g[None]
+        p = np.moveaxis(p, -1, 1)                      # [B, C, H, W]
+        g = np.moveaxis(g, -1, 1)
+        self.V += float(self._dist(p, g))
+        self.N += 1
+
+    def report(self):
+        return f"rLPIPS = {self.measure():.6f}"
 
 
 class SparsityMeter(_MeterBase):

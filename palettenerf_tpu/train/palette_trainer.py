@@ -87,6 +87,7 @@ class PaletteTrainer(Trainer):
             use_checkpoint=use_checkpoint, ema_decay=ema_decay,
             eval_interval=eval_interval, max_keep_ckpt=max_keep_ckpt, mute=mute,
         )
+        self.grid_frozen = True  # inherited from the NeRF ckpt; never refreshed
 
         # warm-start from stage-1 only on fresh runs — resuming a palette checkpoint
         # must not stomp the palette-trained color head with stage-1 weights
@@ -385,6 +386,24 @@ class PaletteTrainer(Trainer):
                  f"({B} steps, {time.time()-t0:.1f}s, step={self.global_step}, "
                  f"lw={self.lambda_weight:.4f}, lp={self.lambda_palette:.4f}, "
                  f"freeze={self.freeze_basis_color}, smooth={self.require_smooth_loss})")
+
+    def _gui_train_step(self, data, key) -> float:
+        """Palette-loss GUI step (train_gui) — the base signature lacks the
+        palette terms (gt_feat/inds/lambdas/schedule flags)."""
+        clip_dim = self.palette_spec.clip_dim
+        images = jnp.asarray(data["images"])
+        gt_feat = jnp.asarray(
+            data.get("feat_images", np.zeros((images.shape[0], clip_dim), np.float32)))
+        self._train_width = data["W"]
+        inds = jnp.asarray(data.get("inds", np.zeros(images.shape[0], np.int64)))
+        (self.params, self.opt_state, self.ema_params, loss, _per_ray) = self._train_step(
+            self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
+            key, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
+            images, gt_feat, inds,
+            jnp.float32(self.lambda_weight), jnp.float32(self.lambda_palette),
+            self.freeze_basis_color, self.require_smooth_loss,
+        )
+        return float(loss)
 
     def train_one_epoch(self, train_ds):
         if self.supports_fast_path(train_ds):

@@ -68,6 +68,9 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
+        # PaletteTrainer sets True: its occupancy grid is inherited frozen from the
+        # NeRF checkpoint (reference palette/utils.py:644-646 — no update_extra_state)
+        self.grid_frozen = False
 
         os.makedirs(workspace, exist_ok=True)
         self.ckpt_path = os.path.join(workspace, "checkpoints")
@@ -512,20 +515,26 @@ class Trainer:
             except StopIteration:
                 it = train_ds.iter_epoch()
                 data = next(it)
-            if self.global_step % self.opt.update_extra_interval == 0:
+            if (not self.grid_frozen
+                    and self.global_step % self.opt.update_extra_interval == 0):
                 self.key, k = jax.random.split(self.key)
                 self.grid_state = self._refresh_grid(k)
             self.key, k = jax.random.split(self.key)
-            out = self._train_step(
-                self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
-                k, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
-                jnp.asarray(data["images"]),
-            )
-            self.params, self.opt_state, self.ema_params, loss = out[0], out[1], out[2], out[3]
+            total += self._gui_train_step(data, k)
             self.global_step += 1
-            total += float(loss)
         lr = float(self.opt.lr * 0.1 ** min(self.global_step / self.opt.iters, 1.0))
         return {"loss": total / step, "lr": lr, "time": time.time() - t0}
+
+    def _gui_train_step(self, data, key) -> float:
+        """One optimizer step from a collated batch (overridden by PaletteTrainer,
+        whose jitted step takes the palette loss arguments)."""
+        out = self._train_step(
+            self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
+            key, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
+            jnp.asarray(data["images"]),
+        )
+        self.params, self.opt_state, self.ema_params = out[0], out[1], out[2]
+        return float(out[3])
 
     def test_gui(self, pose, intrinsics, W: int, H: int, downscale: float = 1.0,
                  bg_color=None):
@@ -538,6 +547,28 @@ class Trainer:
         ro, rd = gen_rays(np.asarray(pose, np.float32), intr, rH, rW, None)
         out = self.render_image(ro, rd, bg_color)
         return {k: v.reshape(rH, rW, *v.shape[1:]) for k, v in out.items()}
+
+    def set_render_option(self, **kw):
+        """Live render-settings update from GUI sliders (reference nerf/gui.py
+        dt_gamma/max_steps sliders). Rebuilds the jitted fns — each new value
+        combination compiles once, then hits the cache."""
+        import dataclasses
+
+        self.train_settings = dataclasses.replace(self.train_settings, **kw)
+        self.eval_settings = dataclasses.replace(self.eval_settings, **kw)
+        self._build_jit_fns()
+
+    def save_view(self, pose, intrinsics, W: int, H: int, name: Optional[str] = None):
+        """Render and save the current GUI viewpoint (palette/gui.py:387-399
+        'render view' button). Returns the saved path."""
+        out = self.test_gui(pose, intrinsics, W, H)
+        save_path = os.path.join(self.workspace, "results")
+        os.makedirs(save_path, exist_ok=True)
+        path = os.path.join(
+            save_path, f"{name or self.name}_view_{int(time.time())}.png")
+        self._save_image(path, np.asarray(out["image"]))
+        self.log(f"[GUI] saved view {path}")
+        return path
 
     def save_mesh(self, resolution: int = 256, threshold: float = 10.0,
                   save_path: Optional[str] = None):
