@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_levels", type=int, default=16)
     p.add_argument("--grid_level_dim", type=int, default=2)
     p.add_argument("--grid_update_warmup", type=int, default=256)
+    p.add_argument("--stochastic_trilerp", action="store_true",
+                   help="train-only single-corner Monte-Carlo hash interpolation "
+                        "(8x fewer gathers; unbiased estimator, eval stays exact)")
     p.add_argument("--fast_grad", action="store_true",
                    help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
     return p
@@ -107,6 +110,7 @@ def main(argv=None):
 
     spec = NeRFSpec.build(
         bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=cfg.fp16_enabled, fast_grad=cfg.fast_grad,
+        stochastic_trilerp=cfg.stochastic_trilerp,
         log2_hashmap_size=cfg.log2_hashmap_size, grid_levels=cfg.grid_levels,
         grid_level_dim=cfg.grid_level_dim,
     )

@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--continue_training", action="store_true")
 
     p.add_argument("--extract_palette", action="store_true")
+    p.add_argument("--extract_downscale", type=int, default=1,
+                   help="render training views at 1/N resolution during palette "
+                        "extraction (the RGBXY statistics are resolution-insensitive)")
     p.add_argument("--use_normalized_palette", action="store_true")
     p.add_argument("--error_thres", type=float, default=5.0 / 255)
     p.add_argument("--update_grid", action="store_true")
@@ -177,7 +180,7 @@ def main(argv=None):
                               clip_dim=cfg.clip_dim, color_space=cfg.color_space),
             workspace=palette_workspace, use_checkpoint="scratch", nerf_path=None,
         )
-        loader = PaletteDataset(cfg, type="traintest")
+        loader = PaletteDataset(cfg, type="traintest", downscale=cfg.extract_downscale)
         pal_trainer.extract_palette(nerf_trainer, loader,
                                     normalize_input=cfg.use_normalized_palette,
                                     save_path=palette_workspace)

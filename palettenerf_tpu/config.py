@@ -83,6 +83,11 @@ class Config:
     nerf_path: str = ""
     config: str = ""
     extract_palette: bool = False
+    eval_compaction: bool = True       # alive-ray compaction rounds in NeRF eval renders
+                                       # (reference nerf/renderer.py:336-386 semantics;
+                                       #  ~3-4x faster full-frame renders, 35+ dB vs plain)
+    extract_downscale: int = 1         # render training views at 1/N res for extraction
+                                       # (palette statistics are resolution-insensitive)
     video: bool = False
     continue_training: bool = False
     update_grid: bool = False
@@ -125,6 +130,7 @@ class Config:
     grid_level_dim: int = 2            # features per level (reference default 2)
     grid_update_warmup: int = 256      # full-grid refreshes until this step, partial after
     fast_grad: bool = False            # nearest-corner hash backward (8x fewer scatter updates)
+    stochastic_trilerp: bool = False   # train-only 1-corner MC hash forward (8x fewer gathers)
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)

@@ -45,6 +45,7 @@ class NeRFSpec:
     bg_radius: float = -1.0
     fp16: bool = False  # bf16 hash-table compute (AMP analog; halves the scatter matmul)
     fast_grad: bool = False  # nearest-corner hash backward (8x fewer scatter updates)
+    stochastic_trilerp: bool = False  # train-only 1-corner MC trilerp (8x fewer gathers)
     grid: HashGridSpec = None  # type: ignore[assignment]
     grid_bg: Optional[HashGridSpec] = None
 
@@ -107,11 +108,14 @@ def init_nerf(key, spec: NeRFSpec, dtype=jnp.float32):
     return params
 
 
-def nerf_density(params, spec: NeRFSpec, x):
-    """x [..., 3] in [-bound, bound] -> dict(sigma [...], geo_feat [..., 15])."""
+def nerf_density(params, spec: NeRFSpec, x, training: bool = False):
+    """x [..., 3] in [-bound, bound] -> dict(sigma [...], geo_feat [..., 15]).
+    ``training`` enables the train-only stochastic trilerp (if configured) —
+    eval always interpolates exactly."""
     h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
                                 scatter_dtype=spec.scatter_dtype,
-                                nearest_corner_grad=spec.fast_grad)
+                                nearest_corner_grad=spec.fast_grad,
+                                stochastic=training and spec.stochastic_trilerp)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
@@ -124,8 +128,8 @@ def nerf_color(params, spec: NeRFSpec, d, geo_feat):
     return apply_mlp(params["color_net"], h, final_activation=jax.nn.sigmoid)
 
 
-def nerf_forward(params, spec: NeRFSpec, x, d):
-    dens = nerf_density(params, spec, x)
+def nerf_forward(params, spec: NeRFSpec, x, d, training: bool = False):
+    dens = nerf_density(params, spec, x, training=training)
     rgb = nerf_color(params, spec, d, dens["geo_feat"])
     return dens["sigma"], rgb
 

@@ -67,6 +67,7 @@ class PaletteSpec:
 
     fp16: bool = False
     fast_grad: bool = False
+    stochastic_trilerp: bool = False  # train-only 1-corner MC trilerp
 
     @classmethod
     def build(cls, bound: float = 1.0, bg_radius: float = -1.0, num_basis: int = 4,
@@ -164,16 +165,17 @@ def initialize_palette(params, spec: PaletteSpec, color_list=None, hist_weights=
     return params
 
 
-def palette_density(params, spec: PaletteSpec, x):
+def palette_density(params, spec: PaletteSpec, x, training: bool = False):
     h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
                                 scatter_dtype=spec.scatter_dtype,
-                                nearest_corner_grad=spec.fast_grad)
+                                nearest_corner_grad=spec.fast_grad,
+                                stochastic=training and spec.stochastic_trilerp)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
 
 
-def palette_color(params, spec: PaletteSpec, x, d, geo_feat):
+def palette_color(params, spec: PaletteSpec, x, d, geo_feat, training: bool = False):
     """Palette heads (palette/network.py:223-280).
 
     Returns (omega [...,P], offsets_radiance [...,3P+1], view_dep [...,3], diffuse [...,3]).
@@ -189,7 +191,8 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat):
 
     hp = hashgrid_encode_bounded(params["encoder_palette"], x, spec.grid, spec.bound,
                                  scatter_dtype=spec.scatter_dtype,
-                                 nearest_corner_grad=spec.fast_grad)
+                                 nearest_corner_grad=spec.fast_grad,
+                                 stochastic=training and spec.stochastic_trilerp)
     hp = jnp.concatenate([hp, jax.lax.stop_gradient(diffuse)], -1)
     palette_feat = apply_mlp(params["basis_net"], hp, activation=jax.nn.elu)
 
@@ -199,25 +202,26 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat):
     return omega, offsets_radiance, view_dep, diffuse
 
 
-def palette_forward(params, spec: PaletteSpec, x, d):
+def palette_forward(params, spec: PaletteSpec, x, d, training: bool = False):
     """Full per-sample forward (palette/network.py:156-185).
 
     Returns (sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse); geo_feat is
     detached before the palette heads (:168).
     """
-    dens = palette_density(params, spec, x)
+    dens = palette_density(params, spec, x, training=training)
     sigma = dens["sigma"]
 
     if spec.pred_clip:
         hc = hashgrid_encode_bounded(params["encoder_clip"], x, spec.grid, spec.bound,
                                      scatter_dtype=spec.scatter_dtype,
-                                     nearest_corner_grad=spec.fast_grad)
+                                     nearest_corner_grad=spec.fast_grad,
+                                     stochastic=training and spec.stochastic_trilerp)
         clip_feat = apply_mlp(params["clip_net"], hc)
     else:
         clip_feat = jnp.zeros(x.shape[:-1] + (spec.clip_dim,), sigma.dtype)
 
     omega, offsets_radiance, view_dep, diffuse = palette_color(
-        params, spec, x, d, dens["geo_feat"]
+        params, spec, x, d, dens["geo_feat"], training=training
     )
     return sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse
 

@@ -89,12 +89,14 @@ def _all_indices(spec: HashGridSpec, x01):
     return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def hashgrid_encode_fast(table, x01, spec: HashGridSpec, scatter_dtype=None,
-                         nearest_corner_grad: bool = False):
+                         nearest_corner_grad: bool = False,
+                         stochastic: bool = False):
     """table [total, C]; x01 [..., D] in [0,1] -> [..., L*C].
 
-    Output matches ops.hashgrid.hashgrid_encode bit-for-bit in f32.
+    Output matches ops.hashgrid.hashgrid_encode bit-for-bit in f32 (when
+    ``stochastic`` is off).
 
     ``scatter_dtype`` (static): dtype for the backward scatter-add cotangents (bf16
     halves the scatter matmul cost, mirroring the reference's fp16 atomicAdd
@@ -107,9 +109,28 @@ def hashgrid_encode_fast(table, x01, spec: HashGridSpec, scatter_dtype=None,
     with update count, so this cuts the backward ~8x at the cost of a biased (but
     unbiased-in-expectation-under-jitter) interpolation gradient. Forward stays exact
     trilinear. Off by default.
+
+    ``stochastic`` (static): single-corner Monte-Carlo trilinear — per (sample,
+    level), gather ONE corner drawn with probability equal to its trilinear weight
+    (a position-hash supplies the uniform variate, so the estimator re-randomizes
+    with the per-step march jitter). Unbiased: E[T[c*]] = sum_c w_c T_c. Cuts the
+    forward gather 8x AND the backward scatter 8x (the realized function's exact
+    gradient touches only the drawn corner). Training-only — eval paths must use
+    the exact interpolation. Supersedes ``nearest_corner_grad`` when set.
     """
-    out, _ = _fwd_impl(table, x01, spec)
+    out, _ = _fwd_impl(table, x01, spec, stochastic)
     return out
+
+
+def _corner_lottery(frac, w):
+    """Pseudo-random corner selection: u from a position hash (GLSL-style sin
+    fract), corner c* with P(c*) = w_c via the inverse CDF over the K corners.
+    frac [M, D] fractional coords; w [M, K] trilinear weights (sum 1)."""
+    coef = jnp.asarray([12.9898, 78.233, 37.719][: frac.shape[-1]], jnp.float32)
+    s = jnp.sin((frac * coef).sum(-1)) * 43758.5453
+    u = (s - jnp.floor(s))[:, None]                                # [M, 1] in [0,1)
+    csum = jnp.cumsum(w, axis=-1)
+    return jnp.minimum((u >= csum).sum(-1), w.shape[-1] - 1)       # [M] int
 
 
 _ENCODE_CHUNK = 32768  # bounds gather-output materialization: XLA sometimes assigns a
@@ -117,11 +138,27 @@ _ENCODE_CHUNK = 32768  # bounds gather-output materialization: XLA sometimes ass
 # it up to 64x in HBM; chunking via lax.map caps the worst case at ~2 GB per buffer.
 
 
-def _encode_block(table, spec: HashGridSpec, x):
-    """Encode a [Mc, D] block -> (out [Mc, L*C], idx [Mc, L*K], w [Mc, L*K])."""
+def _encode_block(table, spec: HashGridSpec, x, stochastic: bool = False):
+    """Encode a [Mc, D] block -> (out [Mc, L*C], idx, w, oob).
+
+    Exact mode: idx/w are [Mc, L*K]. Stochastic mode: one drawn corner per
+    (sample, level) — idx is [Mc, L], w is a dummy (the realized weight is 1)."""
     C, L, K = spec.level_dim, spec.num_levels, 2 ** spec.input_dim
     Mc = x.shape[0]
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    if stochastic:
+        sel_idxs = []
+        for lvl in range(L):
+            ilvl, wlvl = _level_indices(spec, lvl, x)              # [Mc,K] each
+            scale = spec.level_scale(lvl)
+            pos = x * scale + (0.0 if spec.align_corners else 0.5)
+            frac = pos - jnp.floor(pos)
+            c = _corner_lottery(frac, wlvl)                        # [Mc]
+            sel_idxs.append(jnp.take_along_axis(ilvl, c[:, None], 1)[:, 0])
+        idx = jnp.stack(sel_idxs, -1)                              # [Mc, L]
+        out = table[idx.reshape(-1)].reshape(Mc, L * C).astype(table.dtype)
+        out = jnp.where(oob[:, None], 0, out)
+        return out, idx, jnp.zeros((Mc, 0), jnp.float32), oob
     idx, w = _all_indices(spec, x)
     feats = table[idx.reshape(-1)].reshape(Mc, L * K, C)
     fw = feats * w[..., None].astype(table.dtype)
@@ -135,40 +172,64 @@ def _encode_block(table, spec: HashGridSpec, x):
     return out, idx, w, oob
 
 
-def _fwd_impl(table, x01, spec: HashGridSpec):
+def _fwd_impl(table, x01, spec: HashGridSpec, stochastic: bool = False):
     D = spec.input_dim
     C = spec.level_dim
     L = spec.num_levels
-    K = 2 ** D
+    K = 1 if stochastic else 2 ** D
     lead = x01.shape[:-1]
     x = x01.reshape(-1, D).astype(jnp.float32)
     M = x.shape[0]
 
     if M <= _ENCODE_CHUNK:
-        out, idx, w, oob = _encode_block(table, spec, x)
+        out, idx, w, oob = _encode_block(table, spec, x, stochastic)
     else:
         pad = (-M) % _ENCODE_CHUNK
         xp = jnp.concatenate([x, jnp.full((pad, D), 0.5, x.dtype)], 0) if pad else x
         n_chunks = xp.shape[0] // _ENCODE_CHUNK
         out, idx, w, oob = jax.lax.map(
-            lambda xc: _encode_block(table, spec, xc),
+            lambda xc: _encode_block(table, spec, xc, stochastic),
             xp.reshape(n_chunks, _ENCODE_CHUNK, D),
         )
         out = out.reshape(-1, L * C)[:M]
         idx = idx.reshape(-1, L * K)[:M]
-        w = w.reshape(-1, L * K)[:M]
+        w = w.reshape(M + pad, -1)[:M]
         oob = oob.reshape(-1)[:M]
 
     return out.reshape(*lead, L * C), (idx, w, oob, lead)
 
 
-def _fwd(table, x01, spec: HashGridSpec, scatter_dtype=None, nearest_corner_grad=False):
-    out, res = _fwd_impl(table, x01, spec)
+def _fwd(table, x01, spec: HashGridSpec, scatter_dtype=None, nearest_corner_grad=False,
+         stochastic=False):
+    out, res = _fwd_impl(table, x01, spec, stochastic)
     dtype_token = jnp.zeros((0,), table.dtype)  # residuals must be arrays
     return out, (res, dtype_token)
 
 
-def _bwd(spec: HashGridSpec, scatter_dtype, nearest_corner_grad, saved, g):
+def _bwd_stochastic(spec: HashGridSpec, scatter_dtype, saved, g):
+    """Gradient of the realized single-corner function: one update per
+    (sample, level), weight 1, into the drawn corner."""
+    (idx, _w, oob, lead), dtype_token = saved
+    tdtype = scatter_dtype if scatter_dtype is not None else dtype_token.dtype
+    C, L = spec.level_dim, spec.num_levels
+    M = idx.shape[0]
+    g = g.reshape(M, L * C)
+    g = jnp.where(oob[:, None], 0, g)
+    grads = []
+    for lvl in range(L):
+        lo, hi = spec.offsets[lvl], spec.offsets[lvl + 1]
+        idx_l = idx[:, lvl] - lo
+        gw_l = g[:, lvl * C:(lvl + 1) * C].astype(tdtype)
+        sub = jnp.zeros((hi - lo, C), tdtype)
+        _, vjp = jax.vjp(lambda t: t[idx_l], sub)
+        (grad_l,) = vjp(gw_l)
+        grads.append(grad_l)
+    return jnp.concatenate(grads, 0).astype(dtype_token.dtype), None
+
+
+def _bwd(spec: HashGridSpec, scatter_dtype, nearest_corner_grad, stochastic, saved, g):
+    if stochastic:
+        return _bwd_stochastic(spec, scatter_dtype, saved, g)
     (idx, w, oob, lead), dtype_token = saved
     tdtype = scatter_dtype if scatter_dtype is not None else dtype_token.dtype
     D, C, L = spec.input_dim, spec.level_dim, spec.num_levels
@@ -207,6 +268,7 @@ hashgrid_encode_fast.defvjp(_fwd, _bwd)
 
 
 def hashgrid_encode_fast_bounded(table, x, spec: HashGridSpec, bound: float,
-                                 scatter_dtype=None, nearest_corner_grad: bool = False):
+                                 scatter_dtype=None, nearest_corner_grad: bool = False,
+                                 stochastic: bool = False):
     return hashgrid_encode_fast(table, (x + bound) / (2.0 * bound), spec, scatter_dtype,
-                                nearest_corner_grad)
+                                nearest_corner_grad, stochastic)

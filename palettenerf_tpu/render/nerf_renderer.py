@@ -97,7 +97,8 @@ def render_nerf_train(
     )
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
-    sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
+    sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3),
+                                dirs.reshape(-1, 3), training=True)
     sigmas = sigmas.reshape(n, -1) * settings.density_scale
     rgbs = rgbs.reshape(n, -1, 3)
 
@@ -114,7 +115,7 @@ def render_nerf_train(
         rgb_norm = jnp.zeros((n,), jnp.float32)
 
     image = image + (1.0 - ws)[:, None] * bg
-    depth_out = jnp.clip(depth - nears, 0.0, None) / (fars - nears)
+    depth_out = jnp.clip(depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
     return {
         "image": image,
         "depth": depth_out,
@@ -293,7 +294,7 @@ def render_nerf_eval_compact(
 
     image = image + (1.0 - ws)[:, None] * bg
     depth_abs = depth + ws * nears
-    depth_out = jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears)
+    depth_out = jnp.clip(depth_abs - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
     return {
         "image": image,
         "depth": depth_out,
@@ -313,7 +314,9 @@ def render_nerf_eval(
 ):
     """Non-differentiable eval render (bigger S, no perturb). Same output dict +
     ``depth_origin`` (raw composited distance, palette/renderer.py:526)."""
-    if settings.compaction_rounds:
+    if settings.compaction_rounds and rays_o.shape[0] >= 64:
+        # tiny batches (GUI probes, unit tests) skip compaction — top_k over
+        # n//16 rays needs a meaningful population
         return render_nerf_eval_compact(
             params, spec, bitfield, rays_o, rays_d, settings, bg_color)
     n = rays_o.shape[0]
@@ -345,7 +348,7 @@ def render_nerf_eval(
     # inference depth is ABSOLUTE in the reference (rays_t starts at nears,
     # raymarching.cu:1078-1079); t_cum is relative to t0 ~= nears
     depth_abs = depth + ws * nears
-    depth_out = jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears)
+    depth_out = jnp.clip(depth_abs - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
     return {
         "image": image,
         "depth": depth_out,

@@ -199,7 +199,7 @@ def render_palette_train(
     M = xyzs.shape[0]
 
     sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
-        params, spec, xyzs, dirs
+        params, spec, xyzs, dirs, training=True
     )
     sigma = jax.lax.stop_gradient(sigma * settings.density_scale)  # renderer.py:334-335
 
@@ -226,7 +226,8 @@ def render_palette_train(
         xyzs_diff = jnp.clip(
             xyzs + jax.random.uniform(k_smooth, xyzs.shape) * b * 0.03, -b, b
         )
-        _, clip_d, omega_d, _, _, diffuse_d = palette_forward(params, spec, xyzs_diff, dirs)
+        _, clip_d, omega_d, _, _, diffuse_d = palette_forward(
+            params, spec, xyzs_diff, dirs, training=True)
         xyz_w = ((xyzs - xyzs_diff) ** 2).sum(-1, keepdims=True) / b ** 2 / spec.smooth_sigma_xyz
         rgb_w = ((diffuse - diffuse_d) ** 2).sum(-1, keepdims=True) / spec.smooth_sigma_color
         if spec.pred_clip and spec.smooth_sigma_clip > 0:
@@ -257,7 +258,7 @@ def render_palette_train(
     direct_rgb_map = aux_map[:, c0 + 3:c0 + 6] + (1.0 - ws)[:, None] * bg
     return {
         "image": image,
-        "depth": jnp.clip(depth - nears, 0.0, None) / (fars - nears),
+        "depth": jnp.clip(depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6),
         "weights_sum": ws,
         "omega_sparsity": aux_map[:, 0],
         "view_dep_norm": aux_map[:, 1],
@@ -334,7 +335,7 @@ def render_palette_eval(
     depth_abs = depth + ws * nears  # absolute, matching raymarching.cu:1078-1079
     out = {
         "image": image,
-        "depth": jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears),
+        "depth": jnp.clip(depth_abs - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6),
         "depth_origin": depth_abs,
         "weights_sum": ws,
         "clip_feat": composite_channels(w, clip_feat.reshape(n, S, -1)),

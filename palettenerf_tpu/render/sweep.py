@@ -435,7 +435,7 @@ def _warp_to_screen(inter, uniw, *, h: int, w: int, u_res: int):
         jnp.broadcast_to(o_p, (h * w, 3)), d_p.reshape(-1, 3), aabb, min_near)
     nears = nears.reshape(h, w)
     fars = fars.reshape(h, w)
-    depth = jnp.clip(depth_abs - nears, 0.0, None) / (fars - nears)
+    depth = jnp.clip(depth_abs - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
 
     return {"image": image, "depth": depth, "depth_origin": depth_abs,
             "weights_sum": ws}

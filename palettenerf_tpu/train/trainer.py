@@ -114,11 +114,19 @@ class Trainer:
             num_samples=opt.train_samples_per_ray, t_thresh=opt.t_thresh_train,
             min_near=opt.min_near, bg_radius=spec.bg_radius,
         )
+        s_inf = opt.infer_samples_per_ray
+        rounds = ()
+        if getattr(opt, "eval_compaction", True) and s_inf % 4 == 0 and s_inf >= 16:
+            # static alive-ray compaction schedule (reference's inference loop,
+            # nerf/renderer.py:336-386): all rays march s/4 samples, the top 1/4
+            # by remaining transmittance continue s/4 more, the top 1/16 finish
+            rounds = ((1, s_inf // 4), (4, s_inf // 4), (16, s_inf // 2))
         self.eval_settings = RenderSettings(
             bound=spec.bound, cascade=cascade, grid_size=opt.grid_size,
             dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
-            num_samples=opt.infer_samples_per_ray, t_thresh=opt.t_thresh_infer,
+            num_samples=s_inf, t_thresh=opt.t_thresh_infer,
             min_near=opt.min_near, bg_radius=spec.bg_radius,
+            compaction_rounds=rounds,
         )
 
         # optimizer: Adam + per-step 0.1^(t/T) decay (main_nerf.py:141-151)

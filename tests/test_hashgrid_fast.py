@@ -56,3 +56,72 @@ def test_fast_bf16_table():
     g = jax.grad(lambda t: hashgrid_encode_fast(t, x, spec).astype(jnp.float32).sum())(table)
     assert g.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+class TestStochasticTrilerp:
+    """Single-corner Monte-Carlo trilinear (stochastic=True): unbiased forward
+    estimator, exact gradient of the realized function."""
+
+    def _spec(self):
+        return HashGridSpec.build(num_levels=4, level_dim=2, base_resolution=4,
+                                  log2_hashmap_size=9, desired_resolution=32)
+
+    def test_output_is_some_corner_value(self):
+        """Each output feature must equal one of the 8 exact corner features."""
+        spec = self._spec()
+        key = jax.random.PRNGKey(0)
+        table = jax.random.normal(key, (spec.total_params, spec.level_dim))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.02, maxval=0.98)
+        out = hashgrid_encode_fast(table, x, spec, None, False, True)
+        from palettenerf_tpu.ops.hashgrid_fast import _all_indices
+        idx, _ = _all_indices(spec, x)
+        K = 8
+        for lvl in range(spec.num_levels):
+            got = np.asarray(out[:, lvl * 2:(lvl + 1) * 2])
+            corners = np.asarray(table)[np.asarray(idx[:, lvl * K:(lvl + 1) * K])]
+            match = np.any(np.all(np.isclose(corners, got[:, None, :]), -1), 1)
+            assert match.all(), f"level {lvl}: output not a corner value"
+
+    def test_unbiased_expectation_under_jitter(self):
+        """Averaging the stochastic encode over a dense cloud of jittered
+        positions must approach the exact encode's average over the same cloud
+        (the estimator is unbiased conditional on position)."""
+        spec = self._spec()
+        key = jax.random.PRNGKey(2)
+        table = jax.random.normal(key, (spec.total_params, spec.level_dim))
+        base = jnp.asarray([[0.37, 0.52, 0.61]])
+        jit = jax.random.uniform(jax.random.PRNGKey(3), (20000, 3),
+                                 minval=-0.03, maxval=0.03)
+        x = jnp.clip(base + jit, 0, 1)
+        exact = hashgrid_encode_fast(table, x, spec)
+        stoch = hashgrid_encode_fast(table, x, spec, None, False, True)
+        e, s = np.asarray(exact).mean(0), np.asarray(stoch).mean(0)
+        scale = np.abs(e).mean() + 1e-3
+        assert np.abs(e - s).max() / scale < 0.15, (e - s)
+
+    def test_gradient_routes_to_drawn_corner(self):
+        """grad wrt table must be nonzero exactly at the gathered rows, with the
+        output cotangent (weight 1)."""
+        spec = self._spec()
+        key = jax.random.PRNGKey(4)
+        table = jax.random.normal(key, (spec.total_params, spec.level_dim))
+        x = jax.random.uniform(jax.random.PRNGKey(5), (32, 3), minval=0.05, maxval=0.95)
+
+        out, idxinfo = None, None
+        g = jax.grad(lambda t: hashgrid_encode_fast(t, x, spec, None, False, True).sum())(table)
+        g = np.asarray(g)
+        out = np.asarray(hashgrid_encode_fast(table, x, spec, None, False, True))
+        # every row with nonzero grad must have an integer multiple of the
+        # cotangent 1.0 (counts of samples that drew it)
+        nz = np.abs(g) > 0
+        assert nz.any()
+        vals = g[nz.any(-1)]
+        assert np.allclose(vals, np.round(vals), atol=1e-5)
+
+    def test_oob_zero(self):
+        spec = self._spec()
+        table = jnp.ones((spec.total_params, spec.level_dim))
+        x = jnp.asarray([[1.5, 0.5, 0.5], [0.5, 0.5, 0.5]])
+        out = hashgrid_encode_fast(table, x, spec, None, False, True)
+        assert float(jnp.abs(out[0]).max()) == 0.0
+        assert float(jnp.abs(out[1]).min()) > 0.0
