@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_levels", type=int, default=16)
     p.add_argument("--grid_level_dim", type=int, default=2)
     p.add_argument("--grid_update_warmup", type=int, default=256)
+    p.add_argument("--lambda_lpips", type=float, default=0.0,
+                   help="perceptual patch loss weight (requires --patch_size > 1)")
     p.add_argument("--stochastic_trilerp", action="store_true",
                    help="train-only single-corner Monte-Carlo hash interpolation "
                         "(8x fewer gathers; unbiased estimator, eval stays exact)")

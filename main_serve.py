@@ -75,7 +75,9 @@ def main():
 
     ckpt = find_checkpoint(args.workspace)
     payload = ckpt_lib.load_checkpoint(ckpt)
-    params = {k: jnp.asarray(v) for k, v in payload["params"].items()}
+    import jax
+
+    params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     P = args.num_basis or params["basis_color"].shape[0]
     spec = PaletteSpec.build(bound=args.bound, num_basis=P,
                              grid_levels=args.grid_levels,

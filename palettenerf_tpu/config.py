@@ -77,6 +77,8 @@ class Config:
     rand_pose: int = -1
 
     lambda_sparse: float = 0.05
+    lambda_lpips: float = 0.0          # perceptual patch loss weight (needs patch_size>1;
+                                       #  random-feature LPIPS, reference nerf/utils.py:542-550)
     filter_close_point: bool = False
 
     # ---- palette-stage options (main_palette.py:16-101) ----

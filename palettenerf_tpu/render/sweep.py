@@ -294,7 +294,20 @@ def _sweep_composite(
             dh = delta_hsv[None, :, 0, None]
             ds = delta_hsv[None, :, 1, None]
             dv = delta_hsv[None, :, 2, None]
-            fr, fg, fb = _hsv_edit_planar(fr, fg, fb, dh, ds, dv, wgt)
+
+            def edited(ops):
+                return _hsv_edit_planar(*ops, dh, ds, dv, wgt)
+
+            def plain(ops):
+                return ops
+
+            # per-slice edit culling: a spatially-localized edit (use_xyz) whose
+            # gaussian is < 1e-3 across this whole slice skips the ~35-op HSV
+            # chain entirely (worst-case color error 1e-3, ~60 dB — far below
+            # the compositing tolerance). Global edits always take `edited`.
+            slice_d2 = (zk - uni[13]) ** 2
+            near_edit = (uni[16] <= 0) | (slice_d2 <= 6.9 * uni[17])
+            fr, fg, fb = jax.lax.cond(near_edit, edited, plain, (fr, fg, fb))
         return sigma, (om * fr).sum(1), (om * fg).sum(1), (om * fb).sum(1)
 
     def do_slice(k_eff, carry):

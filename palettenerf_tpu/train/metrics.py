@@ -134,6 +134,50 @@ class LPIPSMeter(_MeterBase):
         return f"LPIPS ({self.net}) = {self.measure():.6f}"
 
 
+# AlexNet-shaped random feature pyramid: (out_channels, kernel, stride)
+_RLPIPS_TOPOLOGY = ((64, 11, 4), (192, 5, 2), (384, 3, 2), (256, 3, 2), (256, 3, 2))
+
+
+def make_rlpips_kernels(seed: int = 0):
+    """Deterministic He-init conv stack for the random-feature perceptual
+    distance (shared by RLPIPSMeter and the differentiable train-time patch
+    loss, reference nerf/utils.py:542-550)."""
+    import jax
+
+    key = jax.random.PRNGKey(seed)
+    kernels = []
+    c_in = 3
+    for c_out, k, _s in _RLPIPS_TOPOLOGY:
+        key, sub = jax.random.split(key)
+        w = jax.random.normal(sub, (c_out, c_in, k, k)) * np.sqrt(2.0 / (c_in * k * k))
+        kernels.append(w)
+        c_in = c_out
+    return kernels
+
+
+def rlpips_distance(kernels, p, g):
+    """Differentiable random-feature perceptual distance. p/g [B, H, W, 3] in
+    [0,1] -> scalar (LPIPS recipe over the random stack; jit/grad friendly)."""
+    import jax
+    import jax.numpy as jnp
+
+    def feats(x):
+        h = jnp.moveaxis(x, -1, 1) * 2.0 - 1.0        # NCHW in [-1, 1]
+        out = []
+        for w, (_c, _k, s) in zip(kernels, _RLPIPS_TOPOLOGY):
+            h = jax.lax.conv_general_dilated(h, w, (s, s), "SAME")
+            h = jax.nn.relu(h)
+            out.append(h)
+        return out
+
+    total = 0.0
+    for fp, fg in zip(feats(p), feats(g)):
+        fp = fp / (jnp.linalg.norm(fp, axis=1, keepdims=True) + 1e-10)
+        fg = fg / (jnp.linalg.norm(fg, axis=1, keepdims=True) + 1e-10)
+        total = total + ((fp - fg) ** 2).sum(1).mean((-2, -1))
+    return total.mean()
+
+
 class RLPIPSMeter(_MeterBase):
     """Self-contained perceptual distance with RANDOM (deterministic-seed) conv
     features — the LPIPS recipe (unit-normalize each conv stage's channels, L2
@@ -150,52 +194,18 @@ class RLPIPSMeter(_MeterBase):
 
     name = "rLPIPS"
 
-    # (out_channels, kernel, stride) — AlexNet-shaped feature pyramid
-    _TOPOLOGY = ((64, 11, 4), (192, 5, 2), (384, 3, 2), (256, 3, 2), (256, 3, 2))
-
     def __init__(self, seed: int = 0):
         super().__init__()
         import jax
 
-        key = jax.random.PRNGKey(seed)
-        self._kernels = []
-        c_in = 3
-        for c_out, k, _s in self._TOPOLOGY:
-            key, sub = jax.random.split(key)
-            fan_in = c_in * k * k
-            w = jax.random.normal(sub, (c_out, c_in, k, k)) * np.sqrt(2.0 / fan_in)
-            self._kernels.append(w)
-            c_in = c_out
-        self._dist = jax.jit(self._distance)
-
-    def _features(self, x):
-        import jax
-
-        feats = []
-        h = x * 2.0 - 1.0                              # [B, 3, H, W] in [-1, 1]
-        for w, (_c, _k, s) in zip(self._kernels, self._TOPOLOGY):
-            h = jax.lax.conv_general_dilated(h, w, (s, s), "SAME")
-            h = jax.nn.relu(h)
-            feats.append(h)
-        return feats
-
-    def _distance(self, p, g):
-        import jax.numpy as jnp
-
-        total = 0.0
-        for fp, fg in zip(self._features(p), self._features(g)):
-            fp = fp / (jnp.linalg.norm(fp, axis=1, keepdims=True) + 1e-10)
-            fg = fg / (jnp.linalg.norm(fg, axis=1, keepdims=True) + 1e-10)
-            total = total + ((fp - fg) ** 2).sum(1).mean((-2, -1))
-        return total.mean()
+        self._kernels = make_rlpips_kernels(seed)
+        self._dist = jax.jit(lambda p, g: rlpips_distance(self._kernels, p, g))
 
     def update(self, preds, truths):
         p = np.asarray(preds, np.float32)
         g = np.asarray(truths, np.float32)
         if p.ndim == 3:
             p, g = p[None], g[None]
-        p = np.moveaxis(p, -1, 1)                      # [B, C, H, W]
-        g = np.moveaxis(g, -1, 1)
         self.V += float(self._dist(p, g))
         self.N += 1
 

@@ -184,7 +184,19 @@ class Trainer:
                 )
                 per_ray = ((out["image"] - gt) ** 2).mean(-1)
                 per_ray = per_ray + out["rgb_norm"] * opt.lambda_sparse
-                return per_ray.mean(), per_ray
+                loss = per_ray.mean()
+                if opt.patch_size > 1 and opt.lambda_lpips > 0:
+                    # perceptual patch loss over the sampled pixel patches
+                    # (reference nerf/utils.py:542-550; random-feature LPIPS here
+                    # since no pretrained weights ship with the image)
+                    from .metrics import rlpips_distance
+
+                    ps = opt.patch_size
+                    pr = out["image"].reshape(-1, ps, ps, 3)
+                    gtp = gt.reshape(-1, ps, ps, 3)
+                    loss = loss + opt.lambda_lpips * rlpips_distance(
+                        self._rlpips_kernels, pr, gtp)
+                return loss, per_ray
 
             (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -196,6 +208,11 @@ class Trainer:
                     lambda e, p: e * decay + p * (1.0 - decay), ema, params
                 )
             return params, opt_state, ema, loss, per_ray
+
+        if opt.patch_size > 1 and getattr(opt, "lambda_lpips", 0.0) > 0:
+            from .metrics import make_rlpips_kernels
+
+            self._rlpips_kernels = make_rlpips_kernels()
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 

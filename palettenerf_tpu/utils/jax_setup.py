@@ -13,6 +13,16 @@ import os
 def setup_jax(cache_dir: str | None = None):
     import jax
 
+    # honor an explicit JAX_PLATFORMS env: the axon TPU plugin force-registers
+    # itself and overrides the env var, so only the config update is decisive
+    # (same workaround as tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     cache_dir = cache_dir or os.environ.get(
         "PALETTENERF_JAX_CACHE", os.path.join("/tmp", "palettenerf_jax_cache")
     )

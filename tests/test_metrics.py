@@ -79,3 +79,54 @@ def test_ssim_meter_batched():
     x = _img(4)
     m.update(np.stack([x, x]), np.stack([x, x]))
     assert m.N == 2 and m.measure() > 0.999
+
+
+def test_rlpips_patch_loss_trains(tmp_path):
+    """lambda_lpips patch loss: differentiable, finite grads, runs through the
+    trainer's patch path (reference nerf/utils.py:542-550)."""
+    import jax
+    import jax.numpy as jnp
+
+    from palettenerf_tpu.train.metrics import make_rlpips_kernels, rlpips_distance
+
+    kernels = make_rlpips_kernels()
+    key = jax.random.PRNGKey(0)
+    gt = jax.random.uniform(key, (2, 16, 16, 3))
+
+    def loss(x):
+        return rlpips_distance(kernels, x, gt)
+
+    x = jnp.clip(gt + 0.1, 0, 1)
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+    # one gradient step reduces the distance
+    x2 = x - 2.0 * g
+    assert float(loss(x2)) < float(loss(x))
+
+
+def test_trainer_patch_lpips_step(tmp_path):
+    """NeRF trainer with patch sampling + lambda_lpips runs and yields finite loss."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synthetic import make_sphere_dataset
+
+    from palettenerf_tpu.config import Config
+    from palettenerf_tpu.data.provider import NeRFDataset
+    from palettenerf_tpu.models.nerf import NeRFSpec
+    from palettenerf_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "scene")
+    make_sphere_dataset(root, n_train=3, n_val=1, n_test=1, H=16, W=16)
+    cfg = Config(path=root, bound=1.0, scale=0.5, num_rays=64, iters=4,
+                 max_steps=32, grid_size=64, train_samples_per_ray=8,
+                 infer_samples_per_ray=16, seed=0, update_extra_interval=2,
+                 grid_levels=4, log2_hashmap_size=13,
+                 patch_size=4, lambda_lpips=0.1)
+    spec = NeRFSpec.build(bound=1.0, grid_levels=4, log2_hashmap_size=13)
+    tr = Trainer("ngp", cfg, spec, workspace=str(tmp_path / "ws"),
+                 use_checkpoint="scratch", mute=True)
+    ds = NeRFDataset(cfg, type="train")
+    tr.train(ds, None, 1)
+    assert np.isfinite(tr.stats["loss"][-1])
