@@ -15,6 +15,11 @@ if [ ! -f "$CONFIGFILE" ]; then
 fi
 source "$CONFIGFILE"
 
+# EXTRA_FLAGS: optional passthrough, e.g. the validated TPU fast profile:
+#   EXTRA_FLAGS="--fast_grad" bash scripts/run_blender.sh configs_blender/lego.sh -m nerf
+# (-O already enables fp16/bf16; --fast_grad adds the nearest-corner hash
+#  backward, ~6x faster steps, quality-neutral on the acceptance A/B)
+
 while [[ $# -gt 0 ]]; do
   case $1 in
     -t|--test)  test=True;  shift ;;
@@ -47,7 +52,8 @@ if [[ $model == 'nerf' ]]; then
     --density_thresh ${density_thresh} \
     -O \
     --dt_gamma 0 \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 elif [[ $model == 'extract' ]]; then
     python main_palette.py \
     $data_dir \
@@ -75,7 +81,8 @@ elif [[ $model == 'palette' ]]; then
     --use_normalized_palette \
     --dt_gamma 0 \
     --datatype "blender" \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 else
     echo "Invalid model. Options are: nerf, extract, palette"
 fi

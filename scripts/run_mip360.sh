@@ -15,6 +15,11 @@ if [ ! -f "$CONFIGFILE" ]; then
 fi
 source "$CONFIGFILE"
 
+# EXTRA_FLAGS: optional passthrough, e.g. the validated TPU fast profile:
+#   EXTRA_FLAGS="--fast_grad" bash scripts/run_blender.sh configs_blender/lego.sh -m nerf
+# (-O already enables fp16/bf16; --fast_grad adds the nearest-corner hash
+#  backward, ~6x faster steps, quality-neutral on the acceptance A/B)
+
 while [[ $# -gt 0 ]]; do
   case $1 in
     -t|--test)  test=True;  shift ;;
@@ -50,7 +55,8 @@ if [[ $model == 'nerf' ]]; then
     -O \
     --no_bg \
     --filter_close_point \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 elif [[ $model == 'extract' ]]; then
     python main_palette.py \
     $data_dir \
@@ -79,7 +85,8 @@ elif [[ $model == 'palette' ]]; then
     --use_initialization_from_rgbxy \
     --use_normalized_palette \
     --datatype "mip360" \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 elif [[ $model == 'palette_lseg' ]]; then
     python main_palette.py \
     $data_dir \
@@ -98,7 +105,8 @@ elif [[ $model == 'palette_lseg' ]]; then
     --datatype "mip360" \
     --pred_clip \
     --clip_dim 16 \
-    $test_mode
+    $test_mode \
+    ${EXTRA_FLAGS}
 else
     echo "Invalid model. Options are: nerf, extract, palette, palette_lseg"
 fi
