@@ -246,3 +246,23 @@ def test_sweep_block_skip_matches_per_slice():
         assert p > 45.0, f"block vs per-slice PSNR {p:.2f} (eye {eye})"
         assert np.mean(np.abs(np.asarray(a["weights_sum"])
                               - np.asarray(b["weights_sum"]))) < 5e-3
+
+
+def test_sweep_localized_edit_culling():
+    """A tightly-localized RegionEdit (std_xyz=0.05 -> ~0.59 world-unit cull
+    radius) exercises the per-slice HSV-culling cond; result must still match
+    the per-ray reference which always applies the full gaussian."""
+    baked = make_palette_baked()
+    sv = build_sweep_volume(baked)
+    pose = look_at_pose((0.0, 0.2, -2.6))
+    bc = np.array([[0.9, 0.2, 0.1], [0.1, 0.8, 0.3], [0.2, 0.3, 0.9], [0.8, 0.8, 0.2]])
+    edit = make_region_edit(P, clip_dim=1, mean_xyz=(0.15, 0.1, 0.0), std_xyz=0.05)
+    edit = edit._replace(delta_hsv=jnp.asarray(
+        [[160.0, 1.0, 1.0], [200.0, 1.0, 1.4], [60.0, 1.0, 0.6], [300.0, 1.0, 1.0]]))
+    out = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc, edit=edit)
+    ref_img, _ = reference_render(baked, pose, INTR, HW, HW, basis_color=bc, edit=edit)
+    p = _psnr(out["image"], ref_img)
+    assert p > 30.0, f"culled localized edit PSNR {p:.2f}"
+    # the edit is visible somewhere (the cull didn't silently kill it)
+    base = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc)
+    assert np.abs(np.asarray(out["image"]) - np.asarray(base["image"])).max() > 5e-3
