@@ -40,6 +40,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workspace", help="palette workspace (version dir) or .ckpt path")
     ap.add_argument("--bound", type=float, default=1.0)
+    ap.add_argument("--data", default=None,
+                    help="scene root: orbit through its test poses (correct up-axis "
+                         "in the NGP-transformed frame) instead of a y-up orbit")
+    ap.add_argument("--scale", type=float, default=0.8)
+    ap.add_argument("--offset", type=float, nargs=3, default=(0.0, 0.0, 0.0))
     ap.add_argument("--num_basis", type=int, default=0, help="0 = infer from ckpt")
     ap.add_argument("--resolution", type=int, default=256, help="bake grid resolution")
     ap.add_argument("--W", type=int, default=800)
@@ -86,7 +91,26 @@ def main():
     print(f"[serve] ckpt {ckpt} (P={P}); baking {args.resolution}^3 ...", flush=True)
     t0 = time.perf_counter()
     baked = bake_palette(params, spec, resolution=args.resolution)
-    sv = build_sweep_volume(baked, sigma_thresh=args.density_thresh)
+
+    # occupancy-mask the bake with the training BITFIELD (the exact cell set the
+    # marcher sampled): the field is unconstrained fog in never-sampled cells,
+    # and unmasked fog both speckles the background and defeats slice skipping
+    gs = payload.get("grid_state")
+    if gs is not None and gs.get("bitfield") is not None:
+        bf = np.asarray(gs["bitfield"])
+        # cascade 0 covers |x| < bound; grid side from the density grid shape
+        G = round(np.asarray(gs["density_grid"]).shape[-1] ** (1 / 3) + 1e-6)
+        occ = np.unpackbits(bf, bitorder="little")[: G ** 3].reshape(G, G, G)
+        R = args.resolution
+        reps = R // G
+        occ_up = np.repeat(np.repeat(np.repeat(occ.astype(bool), reps, 0),
+                                     reps, 1), reps, 2)
+        baked = baked._replace(
+            density=baked.density * jnp.asarray(occ_up, jnp.float32))
+        print(f"[serve] bitfield-masked bake ({occ.mean():.1%} cells occupied)",
+              flush=True)
+
+    sv = build_sweep_volume(baked, sigma_thresh=1e-3)
     print(f"[serve] baked in {time.perf_counter() - t0:.1f}s", flush=True)
 
     palette = np.clip(np.asarray(params["basis_color"]), 0, 1)
@@ -102,19 +126,53 @@ def main():
         print(f"[serve] recoloring basis {args.edit_basis} "
               f"{palette[args.edit_basis].round(3)} -> {args.edit_rgb}", flush=True)
 
-    f = 0.5 * args.H / np.tan(np.radians(args.fovy) / 2)
-    intr = (f, f, args.W / 2, args.H / 2)
+    if args.data:
+        # orbit through the dataset's (NGP-transformed) test poses via slerp —
+        # the model's world frame comes from nerf_matrix_to_ngp, so a naive
+        # y-up orbit would be tilted (reference slerp test path, provider.py)
+        from scipy.spatial.transform import Rotation, Slerp
 
-    def pose_at(i):
-        ang = 2 * np.pi * i / args.n_frames
-        eye = args.radius * np.array(
-            [np.sin(ang) * 0.85, 0.55, np.cos(ang) * 0.85])
-        fwd = -eye / np.linalg.norm(eye)
-        right = np.cross(fwd, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
-        down = np.cross(fwd, right)
-        pose = np.eye(4, dtype=np.float32)
-        pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = right, down, fwd, eye
-        return pose
+        from palettenerf_tpu.config import Config
+        from palettenerf_tpu.data.provider import NeRFDataset
+
+        dcfg = Config(path=args.data, bound=args.bound, scale=args.scale,
+                      offset=tuple(args.offset))
+        ds = NeRFDataset(dcfg, type="test")
+        poses = np.asarray(ds.poses)
+        sc = args.H / ds.H
+        intr_override = tuple(float(v) * sc for v in ds.intrinsics)
+        n_key = len(poses)
+        rots = Rotation.from_matrix(poses[:, :3, :3])
+        key_t = np.arange(n_key)
+
+        def pose_at(i):
+            t = (i / args.n_frames) * (n_key - 1)
+            k0 = min(int(t), n_key - 2)
+            slerp = Slerp([0, 1], Rotation.concatenate([rots[k0], rots[k0 + 1]]))
+            f = t - k0
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = slerp(f).as_matrix()
+            pose[:3, 3] = (1 - f) * poses[k0, :3, 3] + f * poses[k0 + 1, :3, 3]
+            return pose
+    else:
+        def pose_at(i):
+            ang = 2 * np.pi * i / args.n_frames
+            eye = args.radius * np.array(
+                [np.sin(ang) * 0.92, 0.40, np.cos(ang) * 0.92])
+            target = np.array([0.0, -0.1, 0.0])
+            fwd = target - eye
+            fwd /= np.linalg.norm(fwd)
+            right = np.cross(fwd, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
+            down = np.cross(fwd, right)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = right, down, fwd, eye
+            return pose
+
+    if args.data:
+        intr = intr_override
+    else:
+        f = 0.5 * args.H / np.tan(np.radians(args.fovy) / 2)
+        intr = (f, f, args.W / 2, args.H / 2)
 
     def frame(i):
         return render_sweep(sv, pose_at(i), intr, args.H, args.W, u_res=args.u_res,
