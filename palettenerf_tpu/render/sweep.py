@@ -219,7 +219,8 @@ _UNI_LEN = 18
 
 
 @partial(jax.jit, static_argnames=(
-    "num_basis", "u_res", "t_thresh", "weight_mode", "has_edit", "skip", "unroll"))
+    "num_basis", "u_res", "t_thresh", "weight_mode", "has_edit", "edit_cull",
+    "skip", "unroll"))
 def _sweep_composite(
     vol,            # [Z, X, C, Y] bf16
     occ,            # [Z] bool
@@ -232,6 +233,7 @@ def _sweep_composite(
     t_thresh: float,
     weight_mode: bool,
     has_edit: bool = True,
+    edit_cull: bool = False,  # per-slice HSV skip for tight spatial edits
     skip: str = "slice",   # none | slice | block — lax.cond granularity
     unroll: int = 1,
 ):
@@ -295,19 +297,24 @@ def _sweep_composite(
             ds = delta_hsv[None, :, 1, None]
             dv = delta_hsv[None, :, 2, None]
 
-            def edited(ops):
-                return _hsv_edit_planar(*ops, dh, ds, dv, wgt)
+            if edit_cull:
+                # per-slice edit culling (STATIC mode, enabled by render_sweep
+                # only for tight spatial edits where many slices actually skip):
+                # slices whose gaussian mask is everywhere < 1e-3 skip the
+                # ~35-op HSV chain (worst-case color error 1e-3 ~ 60 dB). The
+                # cond materializes its operands — a fusion break that costs
+                # ~18 ms/frame — so global edits bypass it entirely.
+                def edited(ops):
+                    return _hsv_edit_planar(*ops, dh, ds, dv, wgt)
 
-            def plain(ops):
-                return ops
+                def plain(ops):
+                    return ops
 
-            # per-slice edit culling: a spatially-localized edit (use_xyz) whose
-            # gaussian is < 1e-3 across this whole slice skips the ~35-op HSV
-            # chain entirely (worst-case color error 1e-3, ~60 dB — far below
-            # the compositing tolerance). Global edits always take `edited`.
-            slice_d2 = (zk - uni[13]) ** 2
-            near_edit = (uni[16] <= 0) | (slice_d2 <= 6.9 * uni[17])
-            fr, fg, fb = jax.lax.cond(near_edit, edited, plain, (fr, fg, fb))
+                slice_d2 = (zk - uni[13]) ** 2
+                near_edit = (uni[16] <= 0) | (slice_d2 <= 6.9 * uni[17])
+                fr, fg, fb = jax.lax.cond(near_edit, edited, plain, (fr, fg, fb))
+            else:
+                fr, fg, fb = _hsv_edit_planar(fr, fg, fb, dh, ds, dv, wgt)
         return sigma, (om * fr).sum(1), (om * fg).sum(1), (om * fb).sum(1)
 
     def do_slice(k_eff, carry):
@@ -520,11 +527,15 @@ def render_sweep(
     # two dispatches (composite, warp) measure FASTER than one fused program
     # here — dispatch latency is hidden by async execution, and the split
     # programs schedule better on this XLA version
+    # static per-slice HSV culling only when the edit is tight enough that a
+    # meaningful share of slices will actually skip (the cond is a fusion break)
+    edit_cull = bool(has_edit and np.asarray(edit.use_xyz)
+                     and 6.9 * float(np.asarray(edit.std_xyz)) < sv.bound ** 2)
     inter = _sweep_composite(
         sv.vols[plan.axis], sv.occ[plan.axis], bc,
         jnp.asarray(edit.delta_hsv, jnp.float32), jnp.asarray(uni),
         num_basis=P, u_res=u_res, t_thresh=float(t_thresh),
         weight_mode=bool(edit.weight_mode), has_edit=has_edit,
-        skip=skip, unroll=unroll,
+        edit_cull=edit_cull, skip=skip, unroll=unroll,
     )
     return _warp_to_screen(inter, jnp.asarray(uniw), h=H, w=W, u_res=u_res)
