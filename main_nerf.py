@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic_trilerp", action="store_true",
                    help="train-only single-corner Monte-Carlo hash interpolation "
                         "(8x fewer gathers; unbiased estimator, eval stays exact)")
+    p.add_argument("--march_groups", type=int, default=-1,
+                   help="hierarchical-march group slots (-1 auto, 0 flat tests)")
+    p.add_argument("--grad_levels", type=int, default=0,
+                   help="hash backward: scatter a random subset of K levels per step (0=all)")
+    p.add_argument("--gridtype", type=str, default="hash",
+                   choices=["hash", "tiled", "hash_xadd"],
+                   help="hash_xadd: TPU pair-local hash (x-adjacent rows, 2x fewer gathers)")
     p.add_argument("--fast_grad", action="store_true",
                    help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
     return p
@@ -112,9 +119,9 @@ def main(argv=None):
 
     spec = NeRFSpec.build(
         bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=cfg.fp16_enabled, fast_grad=cfg.fast_grad,
-        stochastic_trilerp=cfg.stochastic_trilerp,
+        stochastic_trilerp=cfg.stochastic_trilerp, grad_levels=cfg.grad_levels,
         log2_hashmap_size=cfg.log2_hashmap_size, grid_levels=cfg.grid_levels,
-        grid_level_dim=cfg.grid_level_dim,
+        grid_level_dim=cfg.grid_level_dim, gridtype=cfg.gridtype,
     )
     workspace = resolve_workspace("results", cfg.workspace, cfg.version_id, cfg.test)
 

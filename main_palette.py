@@ -104,6 +104,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid_levels", type=int, default=16)
     p.add_argument("--grid_level_dim", type=int, default=2)
     p.add_argument("--grid_update_warmup", type=int, default=256)
+    p.add_argument("--stochastic_trilerp", action="store_true",
+                   help="train-only MC corner draw in the hash encode (unbiased, 4-8x fewer gathers)")
+    p.add_argument("--march_groups", type=int, default=-1,
+                   help="hierarchical-march group slots (-1 auto, 0 flat tests)")
+    p.add_argument("--grad_levels", type=int, default=0,
+                   help="hash backward: scatter a random subset of K levels per step (0=all)")
+    p.add_argument("--gridtype", type=str, default="hash",
+                   choices=["hash", "tiled", "hash_xadd"],
+                   help="hash_xadd: TPU pair-local hash (x-adjacent rows, 2x fewer gathers)")
     p.add_argument("--fast_grad", action="store_true",
                    help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
     return p
@@ -170,14 +179,16 @@ def main(argv=None):
                                    fp16=cfg.fp16_enabled,
                                    log2_hashmap_size=cfg.log2_hashmap_size,
                                    grid_levels=cfg.grid_levels,
-                                   grid_level_dim=cfg.grid_level_dim)
+                                   grid_level_dim=cfg.grid_level_dim,
+                                   gridtype=cfg.gridtype)
         nerf_trainer = Trainer("ngp", cfg, nerf_spec, workspace=nerf_path,
                                use_checkpoint="latest", ema_decay=None)
         pal_trainer = PaletteTrainer(
             "palette", cfg,
             PaletteSpec.build(bound=cfg.bound, bg_radius=cfg.bg_radius,
                               num_basis=cfg.num_basis, pred_clip=cfg.pred_clip,
-                              clip_dim=cfg.clip_dim, color_space=cfg.color_space),
+                              clip_dim=cfg.clip_dim, color_space=cfg.color_space,
+                              gridtype=cfg.gridtype),
             workspace=palette_workspace, use_checkpoint="scratch", nerf_path=None,
         )
         loader = PaletteDataset(cfg, type="traintest", downscale=cfg.extract_downscale)
@@ -191,9 +202,10 @@ def main(argv=None):
         pred_clip=cfg.pred_clip, clip_dim=cfg.clip_dim, color_space=cfg.color_space,
         smooth_sigma_xyz=cfg.smooth_sigma_xyz, smooth_sigma_color=cfg.smooth_sigma_color,
         smooth_sigma_clip=cfg.smooth_sigma_clip, fp16=cfg.fp16_enabled,
-        fast_grad=cfg.fast_grad,
+        fast_grad=cfg.fast_grad, stochastic_trilerp=cfg.stochastic_trilerp,
+        grad_levels=cfg.grad_levels,
         log2_hashmap_size=cfg.log2_hashmap_size, grid_levels=cfg.grid_levels,
-        grid_level_dim=cfg.grid_level_dim,
+        grid_level_dim=cfg.grid_level_dim, gridtype=cfg.gridtype,
     )
 
     if cfg.test:

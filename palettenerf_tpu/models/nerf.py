@@ -22,8 +22,10 @@ import jax.numpy as jnp
 from ..ops.activation import trunc_exp
 from ..ops.hashgrid import HashGridSpec, init_hashgrid
 from ..ops.hashgrid_fast import (
-    hashgrid_encode_fast as hashgrid_encode,
+    EncodeRand,
+    hashgrid_encode_fast,
     hashgrid_encode_fast_bounded as hashgrid_encode_bounded,
+    make_encode_rand,
 )
 from ..ops.sh import sh_encode
 from .mlp import apply_mlp, init_mlp
@@ -46,16 +48,18 @@ class NeRFSpec:
     fp16: bool = False  # bf16 hash-table compute (AMP analog; halves the scatter matmul)
     fast_grad: bool = False  # nearest-corner hash backward (8x fewer scatter updates)
     stochastic_trilerp: bool = False  # train-only 1-corner MC trilerp (8x fewer gathers)
+    grad_levels: int = 0  # backward-only level subsampling (0 = all levels)
     grid: HashGridSpec = None  # type: ignore[assignment]
     grid_bg: Optional[HashGridSpec] = None
 
     @classmethod
     def build(cls, bound: float = 1.0, bg_radius: float = -1.0,
               log2_hashmap_size: int = 19, grid_levels: int = 16,
-              grid_level_dim: int = 2, **kw) -> "NeRFSpec":
+              grid_level_dim: int = 2, gridtype: str = "hash", **kw) -> "NeRFSpec":
         grid = HashGridSpec.build(
             desired_resolution=2048 * bound, num_levels=grid_levels,
             level_dim=grid_level_dim, log2_hashmap_size=log2_hashmap_size,
+            gridtype=gridtype,
         )
         grid_bg = (
             HashGridSpec.build(input_dim=2, num_levels=4, desired_resolution=2048)
@@ -108,14 +112,24 @@ def init_nerf(key, spec: NeRFSpec, dtype=jnp.float32):
     return params
 
 
-def nerf_density(params, spec: NeRFSpec, x, training: bool = False):
+def encode_rand_for(key, spec: NeRFSpec, n_samples: int) -> Optional[EncodeRand]:
+    """Per-step encode randomness (corner lottery + backward level subset), or None
+    when the spec's training profile doesn't use any."""
+    if key is None or not (spec.stochastic_trilerp or spec.grad_levels):
+        return None
+    return make_encode_rand(key, n_samples, spec.grid, spec.grad_levels)
+
+
+def nerf_density(params, spec: NeRFSpec, x, training: bool = False, rand=None):
     """x [..., 3] in [-bound, bound] -> dict(sigma [...], geo_feat [..., 15]).
     ``training`` enables the train-only stochastic trilerp (if configured) —
     eval always interpolates exactly."""
     h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
                                 scatter_dtype=spec.scatter_dtype,
                                 nearest_corner_grad=spec.fast_grad,
-                                stochastic=training and spec.stochastic_trilerp)
+                                stochastic=training and spec.stochastic_trilerp,
+                                rand=rand if training else None,
+                                grad_levels=spec.grad_levels if training else 0)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
@@ -128,15 +142,15 @@ def nerf_color(params, spec: NeRFSpec, d, geo_feat):
     return apply_mlp(params["color_net"], h, final_activation=jax.nn.sigmoid)
 
 
-def nerf_forward(params, spec: NeRFSpec, x, d, training: bool = False):
-    dens = nerf_density(params, spec, x, training=training)
+def nerf_forward(params, spec: NeRFSpec, x, d, training: bool = False, rand=None):
+    dens = nerf_density(params, spec, x, training=training, rand=rand)
     rgb = nerf_color(params, spec, d, dens["geo_feat"])
     return dens["sigma"], rgb
 
 
 def nerf_background(params, spec: NeRFSpec, sph, d):
     """sph [..., 2] in [-1,1]; d dirs -> rgb [..., 3] (network.py:145-160)."""
-    h = hashgrid_encode(params["encoder_bg"], (sph + 1.0) * 0.5, spec.grid_bg)
+    h = hashgrid_encode_fast(params["encoder_bg"], (sph + 1.0) * 0.5, None, spec.grid_bg)
     de = sh_encode(d, spec.sh_degree)
     h = jnp.concatenate([de, h], axis=-1)
     return apply_mlp(params["bg_net"], h, final_activation=jax.nn.sigmoid)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops.activation import trunc_exp
 from ..ops.hashgrid import HashGridSpec, init_hashgrid
 from ..ops.hashgrid_fast import (
-    hashgrid_encode_fast as hashgrid_encode,
+    hashgrid_encode_fast,
     hashgrid_encode_fast_bounded as hashgrid_encode_bounded,
 )
 from ..ops.sh import sh_encode
@@ -68,15 +68,17 @@ class PaletteSpec:
     fp16: bool = False
     fast_grad: bool = False
     stochastic_trilerp: bool = False  # train-only 1-corner MC trilerp
+    grad_levels: int = 0  # backward-only level subsampling (0 = all levels)
 
     @classmethod
     def build(cls, bound: float = 1.0, bg_radius: float = -1.0, num_basis: int = 4,
               pred_clip: bool = False, clip_dim: int = 16, color_space: str = "srgb",
               log2_hashmap_size: int = 19, grid_levels: int = 16,
-              grid_level_dim: int = 2, **kw) -> "PaletteSpec":
+              grid_level_dim: int = 2, gridtype: str = "hash", **kw) -> "PaletteSpec":
         grid = HashGridSpec.build(
             desired_resolution=2048 * bound, num_levels=grid_levels,
             level_dim=grid_level_dim, log2_hashmap_size=log2_hashmap_size,
+            gridtype=gridtype,
         )
         grid_bg = (
             HashGridSpec.build(input_dim=2, num_levels=4, desired_resolution=2048)
@@ -165,17 +167,20 @@ def initialize_palette(params, spec: PaletteSpec, color_list=None, hist_weights=
     return params
 
 
-def palette_density(params, spec: PaletteSpec, x, training: bool = False):
+def palette_density(params, spec: PaletteSpec, x, training: bool = False, rand=None):
     h = hashgrid_encode_bounded(params["encoder"], x, spec.grid, spec.bound,
                                 scatter_dtype=spec.scatter_dtype,
                                 nearest_corner_grad=spec.fast_grad,
-                                stochastic=training and spec.stochastic_trilerp)
+                                stochastic=training and spec.stochastic_trilerp,
+                                rand=rand if training else None,
+                                grad_levels=spec.grad_levels if training else 0)
     h = apply_mlp(params["sigma_net"], h)
     sigma = trunc_exp(h[..., 0])
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
 
 
-def palette_color(params, spec: PaletteSpec, x, d, geo_feat, training: bool = False):
+def palette_color(params, spec: PaletteSpec, x, d, geo_feat, training: bool = False,
+                  rand=None):
     """Palette heads (palette/network.py:223-280).
 
     Returns (omega [...,P], offsets_radiance [...,3P+1], view_dep [...,3], diffuse [...,3]).
@@ -192,7 +197,9 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat, training: bool = Fa
     hp = hashgrid_encode_bounded(params["encoder_palette"], x, spec.grid, spec.bound,
                                  scatter_dtype=spec.scatter_dtype,
                                  nearest_corner_grad=spec.fast_grad,
-                                 stochastic=training and spec.stochastic_trilerp)
+                                 stochastic=training and spec.stochastic_trilerp,
+                                 rand=rand if training else None,
+                                 grad_levels=spec.grad_levels if training else 0)
     hp = jnp.concatenate([hp, jax.lax.stop_gradient(diffuse)], -1)
     palette_feat = apply_mlp(params["basis_net"], hp, activation=jax.nn.elu)
 
@@ -202,32 +209,44 @@ def palette_color(params, spec: PaletteSpec, x, d, geo_feat, training: bool = Fa
     return omega, offsets_radiance, view_dep, diffuse
 
 
-def palette_forward(params, spec: PaletteSpec, x, d, training: bool = False):
+def palette_view_dep(params, spec: PaletteSpec, d, geo_feat):
+    """View-dependent color only (color_net on SH(d) + frozen geo feature) — the
+    focused query the baker uses to fit per-voxel SH coefficients without
+    re-running the density/palette heads per direction (palette/network.py:58-74)."""
+    de = sh_encode(d, spec.sh_degree)
+    return apply_mlp(
+        params["color_net"], jnp.concatenate([de, geo_feat], -1),
+        final_activation=jax.nn.sigmoid)
+
+
+def palette_forward(params, spec: PaletteSpec, x, d, training: bool = False, rand=None):
     """Full per-sample forward (palette/network.py:156-185).
 
     Returns (sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse); geo_feat is
     detached before the palette heads (:168).
     """
-    dens = palette_density(params, spec, x, training=training)
+    dens = palette_density(params, spec, x, training=training, rand=rand)
     sigma = dens["sigma"]
 
     if spec.pred_clip:
         hc = hashgrid_encode_bounded(params["encoder_clip"], x, spec.grid, spec.bound,
                                      scatter_dtype=spec.scatter_dtype,
                                      nearest_corner_grad=spec.fast_grad,
-                                     stochastic=training and spec.stochastic_trilerp)
+                                     stochastic=training and spec.stochastic_trilerp,
+                                     rand=rand if training else None,
+                                     grad_levels=spec.grad_levels if training else 0)
         clip_feat = apply_mlp(params["clip_net"], hc)
     else:
         clip_feat = jnp.zeros(x.shape[:-1] + (spec.clip_dim,), sigma.dtype)
 
     omega, offsets_radiance, view_dep, diffuse = palette_color(
-        params, spec, x, d, dens["geo_feat"], training=training
+        params, spec, x, d, dens["geo_feat"], training=training, rand=rand
     )
     return sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse
 
 
 def palette_background(params, spec: PaletteSpec, sph, d):
-    h = hashgrid_encode(params["encoder_bg"], (sph + 1.0) * 0.5, spec.grid_bg)
+    h = hashgrid_encode_fast(params["encoder_bg"], (sph + 1.0) * 0.5, None, spec.grid_bg)
     de = sh_encode(d, spec.sh_degree)
     return apply_mlp(params["bg_net"], jnp.concatenate([de, h], -1),
                      final_activation=jax.nn.sigmoid)

@@ -41,7 +41,7 @@ class HashGridSpec:
     base_resolution: int = 16
     log2_hashmap_size: int = 19
     per_level_scale: float = 2.0
-    gridtype: str = "hash"  # "hash" | "tiled"
+    gridtype: str = "hash"  # "hash" | "tiled" | "hash_xadd"
     align_corners: bool = False
     # derived (filled by build())
     offsets: Tuple[int, ...] = ()
@@ -134,6 +134,17 @@ def _corner_index(spec: HashGridSpec, lvl: int, pg):
         index = jnp.zeros(pg.shape[:-1], jnp.uint32)
         for d in range(D):
             index = index ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+    elif overflow and spec.gridtype == "hash_xadd":
+        # TPU-local hash: x enters ADDITIVELY so corner (x+1, y, z) always lives at
+        # index+1 (mod size). This x-adjacency lets the fast path fetch both x-corners
+        # of an interpolation cell as ONE wide row from an overlapped pair table
+        # (ops/hashgrid_fast.py), halving gather rows. y/z still mix through the
+        # reference primes (gridencoder.cu:42), so collisions stay pseudo-random
+        # except along x, where they are deliberately chained.
+        mix = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        for d in range(1, D):
+            mix = mix ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        index = pg[..., 0] + mix
     return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
 
 

@@ -2,22 +2,35 @@
 
 Same math as ``ops.hashgrid`` (the golden reference; construction rules parity-exact
 with gridencoder/grid.py:92-133 and gridencoder.cu:36-72), but structured around the
-measured cost model of XLA's TPU gather/scatter lowering:
+measured cost model of XLA's TPU gather/scatter lowering (v5e, verified with forced
+host syncs):
 
-- gather cost   ~ O(rows fetched)            (~200M rows/s, width-independent)
-- scatter cost  ~ O(updates x table_rows)    (lowered as an implicit one-hot matmul on
-                                              the MXU; bf16 cotangents nearly double it)
+- gather cost   ~ O(rows fetched), ~183M rows/s, width-independent up to 16 f32/row
+- scatter cost  ~ O(updates), bf16 ~59M upd/s, f32 ~24M upd/s; ONE big scatter beats
+                many small ones (4.2M updates: 71 ms batched vs 131 ms as 16 per-level
+                scatters), and cost does not grow with table size above 2^17 rows
 
 Consequences baked into this implementation:
+
 1. Corner indices/weights for ALL levels are computed once, into a single global index
-   array; the forward is ONE flat gather (no per-level dynamic_slice copies).
-2. The backward is hand-written (custom VJP): per-level scatters into each level's own
-   sub-table (cost M_l x T_l each, instead of one O(M x T_total) scatter), expressed as
-   vjp-of-gather (measured 2x faster than ``.at[idx].add``), with cotangents cast to the
-   table dtype first (bf16 tables halve the scatter matmul cost, mirroring the
+   array; the forward is ONE flat gather and the backward ONE flat scatter over the
+   concatenated table (global indices).
+2. For ``gridtype="hash_xadd"`` (x enters the hash additively, ops/hashgrid.py), the
+   two x-corners of a cell are ADJACENT rows, so an overlapped pair table
+   ``P[q] = [T[q], T[q+1]]`` (built per call with cheap per-level rolls) lets the
+   forward fetch both x-corners as one wide row: 4 rows/sample/level exact instead
+   of 8, and the x-interpolation stays exact even in stochastic mode.
+3. Stochastic mode draws one corner (or one x-pair) per (sample, level) with
+   probability equal to its interpolation weight — an unbiased Monte-Carlo estimate
+   of the trilinear interpolation (E[T[c*]] = sum_c w_c T_c) that cuts gathers and
+   scatter updates 8x (4x for pairs). The uniform variate comes from a caller-supplied
+   PRNG draw when available (``rand``), falling back to a position hash (which is only
+   decorrelated by march jitter — weak at coarse levels; pass ``rand`` for training).
+4. ``grad_levels``: backward-only level subsampling — each step scatters gradients for
+   a random subset of K levels scaled by L/K (unbiased in expectation, like gradient
+   dropout). Cuts the dominant scatter cost by L/K. Forward is unaffected.
+5. Cotangents are cast to ``scatter_dtype`` (bf16 halves scatter cost, mirroring the
    reference's fp16 atomicAdd accumulation, gridencoder.cu:226-313).
-3. No input gradients (the reference's default ``calc_grad_inputs=False``; positions are
-   never a function of parameters in this pipeline).
 
 Verified against ``ops.hashgrid.hashgrid_encode`` in tests/test_hashgrid_fast.py.
 """
@@ -25,7 +38,7 @@ Verified against ``ops.hashgrid.hashgrid_encode`` in tests/test_hashgrid_fast.py
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,54 +46,69 @@ import jax.numpy as jnp
 from .hashgrid import HashGridSpec, _PRIMES
 
 
-def _level_indices(spec: HashGridSpec, lvl: int, x):
-    """Global corner indices + interpolation weights for one level.
+# --------------------------------------------------------------------------- indices
 
-    x: [M, D] in [0,1]. Returns (idx [M, 2^D] int32 GLOBAL indices, w [M, 2^D] f32).
-    """
+
+def _level_frac(spec: HashGridSpec, lvl: int, x):
+    scale = spec.level_scale(lvl)
+    pos = x * scale + (0.0 if spec.align_corners else 0.5)
+    pg0 = jnp.floor(pos)
+    return pg0.astype(jnp.int32), pos - pg0
+
+
+def _corner_global_index(spec: HashGridSpec, lvl: int, pg):
+    """Global (concatenated-table) index of integer coords pg [..., D] at ``lvl``."""
     D = spec.input_dim
     hashmap_size = spec.offsets[lvl + 1] - spec.offsets[lvl]
     res = spec.resolutions[lvl]
     side = res if spec.align_corners else res + 1
-    scale = spec.level_scale(lvl)
 
-    pos = x * scale + (0.0 if spec.align_corners else 0.5)
-    pg0 = jnp.floor(pos)
-    frac = pos - pg0
-    pg0 = pg0.astype(jnp.int32)
-
-    # which stride-dims fit before the hash kicks in (gridencoder.cu:55-72)
+    pg = pg.astype(jnp.uint32)
     strides = []
     s = 1
     for _ in range(D):
         strides.append(s if s <= hashmap_size else None)
         s *= side
-    overflow = s > hashmap_size  # (after full loop) -> hash for gridtype 'hash'
+    overflow = s > hashmap_size
 
+    if overflow and spec.gridtype == "hash":
+        h = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        for d in range(D):
+            h = h ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+    elif overflow and spec.gridtype == "hash_xadd":
+        mix = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        for d in range(1, D):
+            mix = mix ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        h = pg[..., 0] + mix
+    else:
+        h = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        for d in range(D):
+            if strides[d] is not None:
+                h = h + pg[..., d] * jnp.uint32(strides[d])
+    return (h % jnp.uint32(hashmap_size)).astype(jnp.int32) + spec.offsets[lvl]
+
+
+def _level_indices(spec: HashGridSpec, lvl: int, x):
+    """All-corner global indices + trilinear weights for one level.
+
+    x [M, D] in [0,1] -> (idx [M, 2^D] int32, w [M, 2^D] f32).
+    """
+    D = spec.input_dim
+    pg0, frac = _level_frac(spec, lvl, x)
     idxs, ws = [], []
     for corner in range(2 ** D):
         bits = [(corner >> d) & 1 for d in range(D)]
-        pg = (pg0 + jnp.array(bits, jnp.int32)).astype(jnp.uint32)
+        pg = pg0 + jnp.array(bits, jnp.int32)
         w = jnp.ones(x.shape[:-1], jnp.float32)
         for d in range(D):
             w = w * jnp.where(bits[d], frac[..., d], 1.0 - frac[..., d])
-        if overflow and spec.gridtype == "hash":
-            h = jnp.zeros(x.shape[:-1], jnp.uint32)
-            for d in range(D):
-                h = h ^ (pg[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
-        else:
-            h = jnp.zeros(x.shape[:-1], jnp.uint32)
-            for d in range(D):
-                if strides[d] is not None:
-                    h = h + pg[..., d] * jnp.uint32(strides[d])
-        idx = (h % jnp.uint32(hashmap_size)).astype(jnp.int32) + spec.offsets[lvl]
-        idxs.append(idx)
+        idxs.append(_corner_global_index(spec, lvl, pg))
         ws.append(w)
     return jnp.stack(idxs, -1), jnp.stack(ws, -1)
 
 
 def _all_indices(spec: HashGridSpec, x01):
-    """[M, L*2^D] global indices and weights for all levels."""
+    """[M, L*2^D] global indices and weights for all levels (test/debug helper)."""
     idxs, ws = [], []
     for lvl in range(spec.num_levels):
         i, w = _level_indices(spec, lvl, x01)
@@ -89,179 +117,480 @@ def _all_indices(spec: HashGridSpec, x01):
     return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def hashgrid_encode_fast(table, x01, spec: HashGridSpec, scatter_dtype=None,
-                         nearest_corner_grad: bool = False,
-                         stochastic: bool = False):
-    """table [total, C]; x01 [..., D] in [0,1] -> [..., L*C].
+def _level_pair_indices(spec: HashGridSpec, lvl: int, x):
+    """x-pair base indices for ``hash_xadd``: the 2^(D-1) corners with x-bit 0.
 
-    Output matches ops.hashgrid.hashgrid_encode bit-for-bit in f32 (when
-    ``stochastic`` is off).
-
-    ``scatter_dtype`` (static): dtype for the backward scatter-add cotangents (bf16
-    halves the scatter matmul cost, mirroring the reference's fp16 atomicAdd
-    accumulation). The FORWARD gather stays in the table dtype: bf16 gather *outputs*
-    of shape [rows, 2] get a tiled (2,1) layout whose 128-lane padding inflates them
-    64x in HBM (observed OOM at eval scale), so don't feed bf16 tables here.
-
-    ``nearest_corner_grad`` (static): route each sample's gradient only to its
-    max-weight corner per level (weight renormalized to 1). XLA scatter cost scales
-    with update count, so this cuts the backward ~8x at the cost of a biased (but
-    unbiased-in-expectation-under-jitter) interpolation gradient. Forward stays exact
-    trilinear. Off by default.
-
-    ``stochastic`` (static): single-corner Monte-Carlo trilinear — per (sample,
-    level), gather ONE corner drawn with probability equal to its trilinear weight
-    (a position-hash supplies the uniform variate, so the estimator re-randomizes
-    with the per-step march jitter). Unbiased: E[T[c*]] = sum_c w_c T_c. Cuts the
-    forward gather 8x AND the backward scatter 8x (the realized function's exact
-    gradient touches only the drawn corner). Training-only — eval paths must use
-    the exact interpolation. Supersedes ``nearest_corner_grad`` when set.
+    Returns (base_idx [M, P] global int32, w_rest [M, P] f32 weights over the non-x
+    dims, fx [M] f32 x-fraction). P = 2^(D-1). The full corner weights are
+    w_rest * (1-fx) for the base row's first C features and w_rest * fx for its
+    second C features (the x+1 corner lives in the same overlapped-pair row).
     """
-    out, _ = _fwd_impl(table, x01, spec, stochastic)
-    return out
+    D = spec.input_dim
+    P = 2 ** (D - 1)
+    pg0, frac = _level_frac(spec, lvl, x)
+    fx = frac[..., 0]
+    idxs, ws = [], []
+    for j in range(P):
+        bits = [(j >> (d - 1)) & 1 for d in range(1, D)]
+        pg = pg0 + jnp.array([0] + bits, jnp.int32)
+        w = jnp.ones(x.shape[:-1], jnp.float32)
+        for d in range(1, D):
+            w = w * jnp.where(bits[d - 1], frac[..., d], 1.0 - frac[..., d])
+        idxs.append(_corner_global_index(spec, lvl, pg))
+        ws.append(w)
+    return jnp.stack(idxs, -1), jnp.stack(ws, -1), fx
 
 
-def _corner_lottery(frac, w):
-    """Pseudo-random corner selection: u from a position hash (GLSL-style sin
-    fract), corner c* with P(c*) = w_c via the inverse CDF over the K corners.
-    frac [M, D] fractional coords; w [M, K] trilinear weights (sum 1)."""
+# ---------------------------------------------------------------- pair (overlap) table
+
+
+def pair_table(table, spec: HashGridSpec):
+    """[total, C] -> [total, 2C] overlapped x-pair view: row q = [T[q], T[q+1]].
+
+    The +1 neighbour wraps within each level segment (matching the ``% hashmap_size``
+    of the additive-x hash; linear levels never address a wrapping base row).
+    """
+    parts = []
+    for lvl in range(spec.num_levels):
+        seg = jax.lax.dynamic_slice_in_dim(
+            table, spec.offsets[lvl], spec.offsets[lvl + 1] - spec.offsets[lvl], axis=0)
+        parts.append(jnp.concatenate([seg, jnp.roll(seg, -1, axis=0)], axis=1))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _pair_fold(grad_pair, spec: HashGridSpec):
+    """Adjoint of ``pair_table``: [total, 2C] cotangent -> [total, C]."""
+    C = spec.level_dim
+    parts = []
+    for lvl in range(spec.num_levels):
+        seg = jax.lax.dynamic_slice_in_dim(
+            grad_pair, spec.offsets[lvl], spec.offsets[lvl + 1] - spec.offsets[lvl],
+            axis=0)
+        parts.append(seg[:, :C] + jnp.roll(seg[:, C:], 1, axis=0))
+    return jnp.concatenate(parts, axis=0)
+
+
+# --------------------------------------------------------------------------- lottery
+
+
+def _position_hash_u(frac, extra: float = 0.0):
+    """GLSL-style fallback uniform variate from the fractional coords."""
     coef = jnp.asarray([12.9898, 78.233, 37.719][: frac.shape[-1]], jnp.float32)
-    s = jnp.sin((frac * coef).sum(-1)) * 43758.5453
-    u = (s - jnp.floor(s))[:, None]                                # [M, 1] in [0,1)
-    csum = jnp.cumsum(w, axis=-1)
-    return jnp.minimum((u >= csum).sum(-1), w.shape[-1] - 1)       # [M] int
+    s = jnp.sin((frac * coef).sum(-1) + extra) * 43758.5453
+    return s - jnp.floor(s)
 
+
+def _draw(u, w):
+    """Inverse-CDF draw: u [M] uniform, w [M, K] weights (sum 1) -> (corner id [M],
+    remainder [M]). The remainder is the rescaled within-bin position of u — an
+    independent uniform variate, reused for the backward x-corner lottery."""
+    csum = jnp.cumsum(w, axis=-1)
+    c = jnp.minimum((u[:, None] >= csum).sum(-1), w.shape[-1] - 1)
+    prev = jnp.where(c > 0,
+                     jnp.take_along_axis(csum, jnp.maximum(c - 1, 0)[:, None], 1)[:, 0],
+                     0.0)
+    wsel = jnp.take_along_axis(w, c[:, None], 1)[:, 0]
+    rem = jnp.clip((u - prev) / jnp.maximum(wsel, 1e-9), 0.0, 1.0 - 1e-6)
+    return c, rem
+
+
+class EncodeRand(NamedTuple):
+    """Per-call randomness for the stochastic paths (all traced arrays).
+
+    u:    [M, L] uniforms for the corner lottery (None -> position-hash fallback).
+    lvls: [K] int32 level subset for the backward scatter (None -> all levels).
+    """
+
+    u: Optional[jnp.ndarray] = None
+    lvls: Optional[jnp.ndarray] = None
+
+
+def make_encode_rand(key, n_samples: int, spec: HashGridSpec,
+                     grad_levels: int = 0) -> EncodeRand:
+    """Draw the per-step randomness for ``hashgrid_encode_fast`` from a PRNG key."""
+    ku, kl = jax.random.split(key)
+    u = jax.random.uniform(ku, (n_samples, spec.num_levels))
+    lvls = None
+    if grad_levels and grad_levels < spec.num_levels:
+        lvls = jax.random.permutation(kl, spec.num_levels)[:grad_levels]
+    return EncodeRand(u=u, lvls=lvls)
+
+
+# --------------------------------------------------------------------------- encode
 
 _ENCODE_CHUNK = 32768  # bounds gather-output materialization: XLA sometimes assigns a
 # tiled (8,128) layout to the [M*L*K, C] gather result, whose 128-lane padding inflates
 # it up to 64x in HBM; chunking via lax.map caps the worst case at ~2 GB per buffer.
 
 
-def _encode_block(table, spec: HashGridSpec, x, stochastic: bool = False):
-    """Encode a [Mc, D] block -> (out [Mc, L*C], idx, w, oob).
+def _level_constants(spec: HashGridSpec):
+    """Per-level constants packed as [L]-shaped arrays so the index math for ALL
+    levels runs as one [M, L]-shaped vector pass instead of a Python per-level
+    loop of tiny 1-D ops (the loop form measured 38 ms of VPU overhead per
+    262k-sample encode — more than the gather itself)."""
+    L, D = spec.num_levels, spec.input_dim
+    scales, sizes, offs, is_hash, strides = [], [], [], [], []
+    for lvl in range(L):
+        size = spec.offsets[lvl + 1] - spec.offsets[lvl]
+        res = spec.resolutions[lvl]
+        side = res if spec.align_corners else res + 1
+        st, s = [], 1
+        for _ in range(D):
+            st.append(s if s <= size else 0)
+            s *= side
+        overflow = s > size
+        scales.append(spec.level_scale(lvl))
+        sizes.append(size)
+        offs.append(spec.offsets[lvl])
+        is_hash.append(bool(overflow and spec.gridtype in ("hash", "hash_xadd")))
+        strides.append(st)
+    return (jnp.asarray(scales, jnp.float32),
+            jnp.asarray(sizes, jnp.uint32),
+            jnp.asarray(offs, jnp.int32),
+            jnp.asarray(is_hash),
+            jnp.asarray(strides, jnp.uint32))
 
-    Exact mode: idx/w are [Mc, L*K]. Stochastic mode: one drawn corner per
-    (sample, level) — idx is [Mc, L], w is a dummy (the realized weight is 1)."""
+
+def _geom_batched(spec: HashGridSpec, consts, x):
+    """x [M, D] -> (pg0 [M, L, D] int32, frac [M, L, D] f32), all levels at once."""
+    scales = consts[0]
+    pos = x[:, None, :] * scales[None, :, None] + (0.0 if spec.align_corners else 0.5)
+    pg0 = jnp.floor(pos)
+    return pg0.astype(jnp.int32), pos - pg0
+
+
+def _corner_index_batched(spec: HashGridSpec, consts, pg):
+    """pg [M, L, D] int32 corner coords -> GLOBAL table indices [M, L] int32.
+    Same construction rules as ops.hashgrid._corner_index, vectorized over L."""
+    _, sizes_u, offs_i, is_hash_b, strides_u = consts
+    D = spec.input_dim
+    pgu = pg.astype(jnp.uint32)
+    lin = jnp.zeros(pg.shape[:-1], jnp.uint32)
+    for d in range(D):
+        lin = lin + pgu[..., d] * strides_u[None, :, d]
+    if spec.gridtype == "hash_xadd":
+        mix = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        for d in range(1, D):
+            mix = mix ^ (pgu[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        h = pgu[..., 0] + mix
+    else:
+        h = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        for d in range(D):
+            h = h ^ (pgu[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+    idx = jnp.where(is_hash_b[None], h, lin) % sizes_u[None]
+    return idx.astype(jnp.int32) + offs_i[None]
+
+
+def _corner_stack(spec: HashGridSpec, consts, pg0, frac, x_pairs: bool):
+    """All corner indices+weights, level-batched.
+
+    x_pairs=False: K = 2^D corners -> (idx [M, L, K], w [M, L, K], None)
+    x_pairs=True:  K = 2^(D-1) x-base corners -> (idx, w_rest [M, L, K], fx [M, L])
+    """
+    D = spec.input_dim
+    d_lo = 1 if x_pairs else 0
+    K = 2 ** (D - d_lo)
+    idxs, ws = [], []
+    for corner in range(K):
+        bits = [0] * d_lo + [(corner >> i) & 1 for i in range(D - d_lo)]
+        pg = pg0 + jnp.asarray(bits, jnp.int32)
+        w = jnp.ones(pg0.shape[:-1], jnp.float32)
+        for d in range(d_lo, D):
+            w = w * jnp.where(bits[d], frac[..., d], 1.0 - frac[..., d])
+        idxs.append(_corner_index_batched(spec, consts, pg))
+        ws.append(w)
+    fx = frac[..., 0] if x_pairs else None
+    return jnp.stack(idxs, -1), jnp.stack(ws, -1), fx
+
+
+def _draw_batched(u, w):
+    """u [M, L]; w [M, L, K] (sum 1 over K) -> (corner [M, L], remainder [M, L])."""
+    csum = jnp.cumsum(w, axis=-1)
+    c = jnp.minimum((u[..., None] >= csum).sum(-1), w.shape[-1] - 1)
+    prev = jnp.where(
+        c > 0,
+        jnp.take_along_axis(csum, jnp.maximum(c - 1, 0)[..., None], -1)[..., 0],
+        0.0)
+    wsel = jnp.take_along_axis(w, c[..., None], -1)[..., 0]
+    rem = jnp.clip((u - prev) / jnp.maximum(wsel, 1e-9), 0.0, 1.0 - 1e-6)
+    return c, rem
+
+
+def _reduce_matrix(L: int, K: int, dtype):
+    """[L*K, L] 0/1 matrix summing K corner slots per level (einsum beats a 4D
+    reshape — small minor dims trigger catastrophic tile padding in TPU layouts)."""
+    reduce = jnp.zeros((L * K, L), dtype)
+    lvl_of = jnp.repeat(jnp.arange(L), K)
+    return reduce.at[jnp.arange(L * K), lvl_of].set(1)
+
+
+def _encode_block(table, spec: HashGridSpec, x, u, stochastic: bool):
+    """Encode a [Mc, D] block with the ALL-CORNER path (gridtype 'hash'/'tiled').
+
+    Exact: out, idx [Mc, L*K], w [Mc, L*K]. Stochastic: idx [Mc, L], w=fx dummy.
+    """
     C, L, K = spec.level_dim, spec.num_levels, 2 ** spec.input_dim
     Mc = x.shape[0]
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    consts = _level_constants(spec)
+    pg0, frac = _geom_batched(spec, consts, x)
+    idx3, w3, _ = _corner_stack(spec, consts, pg0, frac, x_pairs=False)  # [Mc,L,K]
     if stochastic:
-        sel_idxs = []
-        for lvl in range(L):
-            ilvl, wlvl = _level_indices(spec, lvl, x)              # [Mc,K] each
-            scale = spec.level_scale(lvl)
-            pos = x * scale + (0.0 if spec.align_corners else 0.5)
-            frac = pos - jnp.floor(pos)
-            c = _corner_lottery(frac, wlvl)                        # [Mc]
-            sel_idxs.append(jnp.take_along_axis(ilvl, c[:, None], 1)[:, 0])
-        idx = jnp.stack(sel_idxs, -1)                              # [Mc, L]
+        if u is None:
+            u = _position_hash_u(frac[:, -1])[:, None] * jnp.ones((1, L))
+        c, _ = _draw_batched(u, w3)                                # [Mc, L]
+        idx = jnp.take_along_axis(idx3, c[..., None], -1)[..., 0]  # [Mc, L]
         out = table[idx.reshape(-1)].reshape(Mc, L * C).astype(table.dtype)
         out = jnp.where(oob[:, None], 0, out)
         return out, idx, jnp.zeros((Mc, 0), jnp.float32), oob
-    idx, w = _all_indices(spec, x)
+    idx = idx3.reshape(Mc, L * K)
+    w = w3.reshape(Mc, L * K)
     feats = table[idx.reshape(-1)].reshape(Mc, L * K, C)
     fw = feats * w[..., None].astype(table.dtype)
-    # corner-sum via a tiny matmul instead of a [Mc, L, K, C] reshape — 4D arrays with
-    # small minor dims trigger catastrophic tile padding in TPU layouts
-    reduce = jnp.zeros((L * K, L), fw.dtype)
-    lvl_of = jnp.repeat(jnp.arange(L), K)
-    reduce = reduce.at[jnp.arange(L * K), lvl_of].set(1)
-    out = jnp.einsum("mkc,kl->mlc", fw, reduce).reshape(Mc, L * C)
+    out = jnp.einsum("mkc,kl->mlc", fw, _reduce_matrix(L, K, fw.dtype))
+    out = out.reshape(Mc, L * C)
     out = jnp.where(oob[:, None], 0, out)
     return out, idx, w, oob
 
 
-def _fwd_impl(table, x01, spec: HashGridSpec, stochastic: bool = False):
-    D = spec.input_dim
-    C = spec.level_dim
-    L = spec.num_levels
-    K = 1 if stochastic else 2 ** D
+def _encode_block_pair(table, spec: HashGridSpec, x, u, stochastic: bool):
+    """Encode a [Mc, D] block with the x-PAIR path (gridtype 'hash_xadd').
+
+    The gather source is the overlapped pair table [total, 2C]. Exact: one wide
+    gather of L*P rows (P = 2^(D-1)); stochastic: L rows, x-interp exact.
+    Returns (out, idx, w, oob):
+      exact:      idx [Mc, L*P], w [Mc, L*P] rest-weights, plus fx packed as the
+                  LAST column block of w?  -- no: fx returned via w tuple; see below.
+    To keep the residual pytree simple both paths return (idx, w, fx):
+      exact:      idx [Mc, L*P], w [Mc, L*P], fx [Mc, L]
+      stochastic: idx [Mc, L],   w [Mc, 0],   fx [Mc, L]
+    """
+    C, L = spec.level_dim, spec.num_levels
+    P = 2 ** (spec.input_dim - 1)
+    Mc = x.shape[0]
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    ptab = pair_table(table, spec)                                 # [total, 2C]
+    consts = _level_constants(spec)
+    pg0, frac = _geom_batched(spec, consts, x)
+    idx3, w3, fx = _corner_stack(spec, consts, pg0, frac, x_pairs=True)  # [Mc,L,P]
+    if stochastic:
+        if u is None:
+            u = _position_hash_u(frac[:, -1])[:, None] * jnp.ones((1, L))
+        c, rem = _draw_batched(u, w3)
+        idx = jnp.take_along_axis(idx3, c[..., None], -1)[..., 0]  # [Mc, L]
+        rows = ptab[idx.reshape(-1)].reshape(Mc, L, 2 * C)
+        fxe = fx[..., None].astype(rows.dtype)
+        out = (rows[..., :C] * (1 - fxe) + rows[..., C:] * fxe).reshape(Mc, L * C)
+        out = jnp.where(oob[:, None], 0, out)
+        # residual fx carries [fx | ux] — ux drives the backward x-corner lottery
+        fx_ux = jnp.concatenate([fx, rem], axis=-1)                # [Mc, 2L]
+        return out, idx, jnp.zeros((Mc, 0), jnp.float32), fx_ux, oob
+    idx = idx3.reshape(Mc, L * P)
+    w = w3.reshape(Mc, L * P)
+    rows = ptab[idx.reshape(-1)].reshape(Mc, L * P, 2 * C)
+    fxe = jnp.repeat(fx, P, axis=-1)[..., None].astype(rows.dtype)
+    interp = rows[..., :C] * (1 - fxe) + rows[..., C:] * fxe       # [Mc, L*P, C]
+    fw = interp * w[..., None].astype(rows.dtype)
+    out = jnp.einsum("mkc,kl->mlc", fw, _reduce_matrix(L, P, fw.dtype))
+    out = out.reshape(Mc, L * C)
+    out = jnp.where(oob[:, None], 0, out)
+    return out, idx, w, fx, oob
+
+
+def _fwd_impl(table, x01, rand: EncodeRand, spec: HashGridSpec, stochastic: bool):
+    D, C, L = spec.input_dim, spec.level_dim, spec.num_levels
+    pairs = spec.gridtype == "hash_xadd"
+    K = (1 if stochastic else 2 ** (D - 1)) if pairs else (1 if stochastic else 2 ** D)
     lead = x01.shape[:-1]
     x = x01.reshape(-1, D).astype(jnp.float32)
     M = x.shape[0]
+    u = None if rand is None else rand.u
+    if u is not None:
+        u = u.reshape(-1, L)
+
+    def enc(xc, uc):
+        if pairs:
+            return _encode_block_pair(table, spec, xc, uc, stochastic)
+        out, idx, w, oob = _encode_block(table, spec, xc, uc, stochastic)
+        return out, idx, w, jnp.zeros((xc.shape[0], 0), jnp.float32), oob
 
     if M <= _ENCODE_CHUNK:
-        out, idx, w, oob = _encode_block(table, spec, x, stochastic)
+        out, idx, w, fx, oob = enc(x, u)
     else:
         pad = (-M) % _ENCODE_CHUNK
         xp = jnp.concatenate([x, jnp.full((pad, D), 0.5, x.dtype)], 0) if pad else x
         n_chunks = xp.shape[0] // _ENCODE_CHUNK
-        out, idx, w, oob = jax.lax.map(
-            lambda xc: _encode_block(table, spec, xc, stochastic),
-            xp.reshape(n_chunks, _ENCODE_CHUNK, D),
-        )
+        if u is not None:
+            up = (jnp.concatenate([u, jnp.full((pad, L), 0.5, u.dtype)], 0)
+                  if pad else u).reshape(n_chunks, _ENCODE_CHUNK, L)
+            out, idx, w, fx, oob = jax.lax.map(
+                lambda args: enc(args[0], args[1]),
+                (xp.reshape(n_chunks, _ENCODE_CHUNK, D), up))
+        else:
+            out, idx, w, fx, oob = jax.lax.map(
+                lambda xc: enc(xc, None), xp.reshape(n_chunks, _ENCODE_CHUNK, D))
         out = out.reshape(-1, L * C)[:M]
         idx = idx.reshape(-1, L * K)[:M]
         w = w.reshape(M + pad, -1)[:M]
+        fx = fx.reshape(M + pad, -1)[:M]
         oob = oob.reshape(-1)[:M]
 
-    return out.reshape(*lead, L * C), (idx, w, oob, lead)
+    return out.reshape(*lead, L * C), (idx, w, fx, oob, lead)
 
 
-def _fwd(table, x01, spec: HashGridSpec, scatter_dtype=None, nearest_corner_grad=False,
-         stochastic=False):
-    out, res = _fwd_impl(table, x01, spec, stochastic)
+# ------------------------------------------------------------------------ custom VJP
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def hashgrid_encode_fast(table, x01, rand: Optional[EncodeRand], spec: HashGridSpec,
+                         scatter_dtype=None,
+                         nearest_corner_grad: bool = False,
+                         stochastic: bool = False,
+                         grad_levels: int = 0):
+    """table [total, C]; x01 [..., D] in [0,1] -> [..., L*C].
+
+    Output matches ops.hashgrid.hashgrid_encode bit-for-bit in f32 (when
+    ``stochastic`` is off). See the module docstring for the mode matrix.
+
+    ``rand`` (traced, optional): per-call EncodeRand from ``make_encode_rand``.
+    ``scatter_dtype`` (static): cotangent dtype for the backward scatter (bf16
+    halves its cost; the forward gather stays in the table dtype).
+    ``nearest_corner_grad`` (static): route each sample's gradient only to its
+    max-weight corner (pair row for hash_xadd) per level — 8x (4x) fewer scatter
+    updates, biased. Forward stays exact. Superseded by ``stochastic``.
+    ``stochastic`` (static): Monte-Carlo corner draw, unbiased; training only.
+    ``grad_levels`` (static): backward level subsampling (0 = all levels); needs
+    ``rand.lvls`` (falls back to all levels when absent).
+    """
+    out, _ = _fwd_impl(table, x01, rand, spec, stochastic)
+    return out
+
+
+def _fwd(table, x01, rand, spec, scatter_dtype=None, nearest_corner_grad=False,
+         stochastic=False, grad_levels=0):
+    out, res = _fwd_impl(table, x01, rand, spec, stochastic)
     dtype_token = jnp.zeros((0,), table.dtype)  # residuals must be arrays
-    return out, (res, dtype_token)
+    lvls = None if rand is None else rand.lvls
+    return out, (res, lvls, dtype_token)
 
 
-def _bwd_stochastic(spec: HashGridSpec, scatter_dtype, saved, g):
-    """Gradient of the realized single-corner function: one update per
-    (sample, level), weight 1, into the drawn corner."""
-    (idx, _w, oob, lead), dtype_token = saved
-    tdtype = scatter_dtype if scatter_dtype is not None else dtype_token.dtype
-    C, L = spec.level_dim, spec.num_levels
-    M = idx.shape[0]
-    g = g.reshape(M, L * C)
-    g = jnp.where(oob[:, None], 0, g)
-    grads = []
-    for lvl in range(L):
-        lo, hi = spec.offsets[lvl], spec.offsets[lvl + 1]
-        idx_l = idx[:, lvl] - lo
-        gw_l = g[:, lvl * C:(lvl + 1) * C].astype(tdtype)
-        sub = jnp.zeros((hi - lo, C), tdtype)
-        _, vjp = jax.vjp(lambda t: t[idx_l], sub)
-        (grad_l,) = vjp(gw_l)
-        grads.append(grad_l)
-    return jnp.concatenate(grads, 0).astype(dtype_token.dtype), None
+def _scatter_global(idx_flat, upd, total_rows: int, cdtype, out_dtype, width: int):
+    """One batched scatter-add: upd [U, width] (cast to cdtype) at rows idx_flat."""
+    sub = jnp.zeros((total_rows, width), cdtype)
+    _, vjp = jax.vjp(lambda t: t[idx_flat], sub)
+    (grad,) = vjp(upd.astype(cdtype))
+    return grad.astype(out_dtype)
 
 
-def _bwd(spec: HashGridSpec, scatter_dtype, nearest_corner_grad, stochastic, saved, g):
-    if stochastic:
-        return _bwd_stochastic(spec, scatter_dtype, saved, g)
-    (idx, w, oob, lead), dtype_token = saved
-    tdtype = scatter_dtype if scatter_dtype is not None else dtype_token.dtype
-    D, C, L = spec.input_dim, spec.level_dim, spec.num_levels
-    K = 2 ** D
-    M = idx.shape[0]
-
-    g = g.reshape(M, L * C)
-    g = jnp.where(oob[:, None], 0, g)
-
-    grads = []
-    for lvl in range(L):
-        lo, hi = spec.offsets[lvl], spec.offsets[lvl + 1]
-        idx_lvl = idx[:, lvl * K:(lvl + 1) * K]                         # [M, K]
-        w_lvl = w[:, lvl * K:(lvl + 1) * K]                             # [M, K]
-        g_l = g[:, lvl * C:(lvl + 1) * C]                               # [M, C]
-        if nearest_corner_grad:
-            # route the gradient to the max-weight corner only (1 update/sample):
-            # cuts the scatter 8x; forward interpolation stays exact
-            best = jnp.argmax(w_lvl, axis=1)
-            idx_l = jnp.take_along_axis(idx_lvl, best[:, None], 1).reshape(-1) - lo
-            gw_l = g_l.astype(tdtype)
+def _select_levels(arrs, lvls, L: int, K: int):
+    """Slice per-level column blocks [*, L*K] (or [*, L]) down to the lvls subset."""
+    outs = []
+    for a, k in arrs:
+        if k == 1:
+            outs.append(a[:, lvls])
         else:
-            idx_l = idx_lvl.reshape(-1) - lo                            # [M*K]
-            w_l = w_lvl.reshape(-1, 1)
-            gw_l = (jnp.repeat(g_l, K, axis=0) * w_l.astype(g.dtype)).astype(tdtype)
-        # vjp-of-gather: measured ~2x faster than zeros.at[idx].add on TPU
-        sub = jnp.zeros((hi - lo, C), tdtype)
-        _, vjp = jax.vjp(lambda t: t[idx_l], sub)
-        (grad_l,) = vjp(gw_l)
-        grads.append(grad_l)
-    grad_table = jnp.concatenate(grads, 0).astype(dtype_token.dtype)
-    return grad_table, None
+            cols = (lvls[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
+            outs.append(a[:, cols])
+    return outs
+
+
+def _wrap_plus_one(idx2d, spec: HashGridSpec, lvl_ids):
+    """Level-local +1 neighbour of global base indices idx2d [M, Leff], where
+    column j belongs to level lvl_ids[j] (traced). Wraps within the level segment
+    (the pair row's second half, matching ``pair_table``'s roll)."""
+    offs = jnp.asarray(spec.offsets, jnp.int32)
+    lo = offs[lvl_ids][None, :]
+    size = (offs[lvl_ids + 1] - offs[lvl_ids])[None, :]
+    return lo + (idx2d - lo + 1) % size
+
+
+def _bwd(spec: HashGridSpec, scatter_dtype, nearest_corner_grad, stochastic,
+         grad_levels, saved, g):
+    (idx, w, fx, oob, lead), lvls, dtype_token = saved
+    cdtype = scatter_dtype if scatter_dtype is not None else dtype_token.dtype
+    D, C, L = spec.input_dim, spec.level_dim, spec.num_levels
+    pairs = spec.gridtype == "hash_xadd"
+    K = (2 ** (D - 1)) if pairs else (2 ** D)
+    total = spec.total_params
+    M = idx.shape[0]
+
+    g = g.reshape(M, L, C)
+    g = jnp.where(oob[:, None, None], 0, g)
+
+    scale = 1.0
+    use_lvls = grad_levels and grad_levels < L and lvls is not None
+    if use_lvls:
+        scale = L / float(grad_levels)
+        Leff = int(grad_levels)
+        g = g[:, lvls, :] * scale
+        lvl_ids = lvls
+    else:
+        Leff = L
+        lvl_ids = jnp.arange(L, dtype=jnp.int32)
+
+    if stochastic:
+        # one drawn row per (sample, level), C-wide updates only (C=2 scatters are
+        # ~2.5x faster per update than C=4 on TPU). For pairs the forward realized
+        # an exact x-interp; the backward routes each cotangent to ONE x-corner
+        # drawn with probability (1-fx, fx) — an unbiased estimator of the pair
+        # gradient using the ux variate carried in fx[..., 1] (see _encode_block_pair)
+        if use_lvls:
+            idx_s, = _select_levels([(idx, 1)], lvls, L, 1)
+            fx_s = fx[:, lvls] if pairs else fx
+            ux_s = fx[:, L + lvls] if pairs else None
+        else:
+            idx_s = idx
+            fx_s = fx[:, :L] if pairs else fx
+            ux_s = fx[:, L:] if pairs else None
+        gm = g.reshape(M * Leff, C)
+        if pairs:
+            take_x1 = ux_s < fx_s                                   # P(x1) = fx
+            idx_p1 = _wrap_plus_one(idx_s, spec, lvl_ids)
+            idx_b = jnp.where(take_x1, idx_p1, idx_s).reshape(-1)
+            grad = _scatter_global(idx_b, gm, total, cdtype, dtype_token.dtype, C)
+            return grad, None, None
+        grad = _scatter_global(idx_s.reshape(-1), gm, total, cdtype,
+                               dtype_token.dtype, C)
+        return grad, None, None
+
+    # exact / nearest-corner paths
+    if use_lvls:
+        idx_s, w_s = _select_levels([(idx, K), (w, K)], lvls, L, K)
+        fx_s = _select_levels([(fx, 1)], lvls, L, 1)[0] if pairs else fx
+    else:
+        idx_s, w_s, fx_s = idx, w, fx
+
+    if nearest_corner_grad:
+        w_lvl = w_s.reshape(M, Leff, K)
+        best = jnp.argmax(w_lvl, axis=-1)                           # [M, Leff]
+        idx_l = jnp.take_along_axis(idx_s.reshape(M, Leff, K), best[..., None],
+                                    -1)[..., 0]                      # [M, Leff]
+        gm = g.reshape(M * Leff, C)
+        if pairs:
+            # nearest corner includes the x axis: route to the closer x-corner
+            idx_p1 = _wrap_plus_one(idx_l, spec, lvl_ids)
+            idx_l = jnp.where(fx_s > 0.5, idx_p1, idx_l)
+        grad = _scatter_global(idx_l.reshape(-1), gm, total, cdtype,
+                               dtype_token.dtype, C)
+        return grad, None, None
+
+    gk = jnp.repeat(g, K, axis=1).reshape(M * Leff * K, C)          # [M*Leff*K, C]
+    wf = w_s.reshape(M * Leff * K, 1)
+    if pairs:
+        # both x-corners of every base pair, as two C-wide update streams in ONE
+        # scatter (C=2 updates are ~2.5x faster per update than C=4)
+        fxf = jnp.repeat(fx_s, K, axis=-1).reshape(M * Leff * K, 1)
+        idx_p1 = _wrap_plus_one(
+            idx_s.reshape(M, Leff * K),
+            spec, jnp.repeat(lvl_ids, K)).reshape(-1)
+        idx_cat = jnp.concatenate([idx_s.reshape(-1), idx_p1], 0)
+        upd_cat = jnp.concatenate([gk * wf * (1 - fxf), gk * wf * fxf], 0)
+        grad = _scatter_global(idx_cat, upd_cat, total, cdtype,
+                               dtype_token.dtype, C)
+        return grad, None, None
+    grad = _scatter_global(idx_s.reshape(-1), gk * wf, total, cdtype,
+                           dtype_token.dtype, C)
+    return grad, None, None
 
 
 hashgrid_encode_fast.defvjp(_fwd, _bwd)
@@ -269,6 +598,8 @@ hashgrid_encode_fast.defvjp(_fwd, _bwd)
 
 def hashgrid_encode_fast_bounded(table, x, spec: HashGridSpec, bound: float,
                                  scatter_dtype=None, nearest_corner_grad: bool = False,
-                                 stochastic: bool = False):
-    return hashgrid_encode_fast(table, (x + bound) / (2.0 * bound), spec, scatter_dtype,
-                                nearest_corner_grad, stochastic)
+                                 stochastic: bool = False, rand: EncodeRand = None,
+                                 grad_levels: int = 0):
+    return hashgrid_encode_fast(table, (x + bound) / (2.0 * bound), rand, spec,
+                                scatter_dtype, nearest_corner_grad, stochastic,
+                                grad_levels)

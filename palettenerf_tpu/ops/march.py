@@ -87,6 +87,108 @@ def mip_level(xyz, dt, grid_size: int, cascade: int):
     return jnp.clip(lvl, 0, cascade - 1)
 
 
+SUPER_FACTOR = 4  # occupancy supercell = 4^3 fine cells
+
+
+def build_super_bitfield(bitfield, grid_size: int, cascade: int,
+                         factor: int = SUPER_FACTOR):
+    """Dilated coarse occupancy mip for hierarchical empty-space tests.
+
+    Supercell (c, X, Y, Z) is set iff ANY fine cell within one supercell radius
+    (3^3 supercell neighbourhood, i.e. a conservative dilation) is occupied at
+    cascade c. A candidate group whose representative point lies in an empty
+    dilated supercell is guaranteed empty as long as every group member is within
+    ``factor * cell_size`` of the representative — the invariant ``march_rays``
+    maintains for its group span. Packed uint8 [CAS*(H/f)^3 // 8].
+    """
+    H = grid_size
+    Hs = H // factor
+    bits = jnp.unpackbits(bitfield, bitorder="little")
+    occ = bits.reshape(-1, Hs, factor, Hs, factor, Hs, factor)
+    sup = occ.max(axis=(2, 4, 6)).astype(jnp.uint8)          # [CAS, Hs, Hs, Hs]
+    # 3^3 dilation via three separable edge-clamped axis max-pools
+    for ax in (1, 2, 3):
+        n = sup.shape[ax]
+        lo = jnp.take(sup, jnp.clip(jnp.arange(n) - 1, 0, n - 1), axis=ax)
+        hi = jnp.take(sup, jnp.clip(jnp.arange(n) + 1, 0, n - 1), axis=ax)
+        sup = jnp.maximum(sup, jnp.maximum(lo, hi))
+    return packbits_u8(sup.reshape(-1))
+
+
+def packbits_u8(occ):
+    bits = occ.reshape(-1, 8).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint8)).astype(jnp.uint8)
+    return (bits * weights[None, :]).sum(axis=-1, dtype=jnp.uint8)
+
+
+def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: float,
+                     H: int, K: int, S: int, dt_min: float, g: int, Sg: int
+                     ) -> MarchResult:
+    """Two-phase hierarchical march (uniform dt, single cascade).
+
+    Phase 1 tests one dilated supercell per GROUP of ``g`` consecutive candidates
+    (K/g coarse gathers/ray instead of K), compacts the first ``Sg`` passing
+    groups, then phase 2 occupancy-tests only their ``Sg*g`` member candidates.
+    Gather rows drop from K to K/g + Sg*g (~3x for the default schedules); output
+    is bit-identical to the flat path whenever <= Sg groups pass (the dilated
+    supercell test is conservative, see build_super_bitfield).
+    """
+    N = rays_o.shape[0]
+    Hs = H // SUPER_FACTOR
+    Kg = K // g
+
+    # ---- phase 1: group-representative supercell tests
+    i_g = jnp.arange(Kg, dtype=jnp.float32)[None, :]
+    t_rep = t0[:, None] + (i_g * g + (g - 1) * 0.5) * dt_min           # [N, Kg]
+    xyz_rep = jnp.clip(rays_o[:, None, :] + t_rep[..., None] * rays_d[:, None, :],
+                       -bound, bound)
+    cell_s = jnp.clip((0.5 * (xyz_rep / bound + 1.0) * Hs).astype(jnp.int32),
+                      0, Hs - 1)
+    flat_s = cell_s[..., 0] * (Hs * Hs) + cell_s[..., 1] * Hs + cell_s[..., 2]
+    sup_occ = occ_lookup(sup_bitfield, flat_s)
+    first_t = t0[:, None] + (i_g * g) * dt_min
+    gmask = sup_occ & (first_t < fars[:, None])                        # [N, Kg]
+
+    # ---- compact first Sg passing groups (slot order == ray order)
+    kg_idx = jnp.arange(Kg, dtype=jnp.int32)[None, :]
+    gscore = jnp.where(gmask, Kg - kg_idx, 0)
+    gvals, _ = jax.lax.top_k(gscore, Sg)                                # [N, Sg]
+    gslot = gvals > 0
+    kept_g = jnp.where(gslot, Kg - gvals, 0)                            # [N, Sg]
+
+    # ---- phase 2: fine occupancy on member candidates
+    j = jnp.arange(g, dtype=jnp.float32)[None, None, :]
+    t_f = (t0[:, None, None]
+           + (kept_g.astype(jnp.float32)[..., None] * g + j) * dt_min)  # [N, Sg, g]
+    t_f = t_f.reshape(N, Sg * g)
+    xyz = jnp.clip(rays_o[:, None, :] + t_f[..., None] * rays_d[:, None, :],
+                   -bound, bound)
+    cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32), 0, H - 1)
+    flat = cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
+    occ = occ_lookup(bitfield, flat)
+    fmask = (occ & (t_f < fars[:, None])
+             & jnp.repeat(gslot, g, axis=-1))                           # [N, Sg*g]
+
+    # ---- final sample compaction (fine set is t-ascending by construction)
+    kf = jnp.arange(Sg * g, dtype=jnp.int32)[None, :]
+    score = jnp.where(fmask, Sg * g - kf, 0)
+    top_vals, _ = jax.lax.top_k(score, S)
+    slot_mask = top_vals > 0
+    kept_k = jnp.where(slot_mask, Sg * g - top_vals, 0)
+
+    t_kept = jnp.take_along_axis(t_f, kept_k, axis=1)
+    xyz_kept = jnp.clip(
+        rays_o[:, None, :] + t_kept[..., None] * rays_d[:, None, :], -bound, bound)
+    t_cum = jnp.where(slot_mask, t_kept + dt_min - t0[:, None], 0.0)
+    return MarchResult(
+        xyzs=jnp.where(slot_mask[..., None], xyz_kept, 0.0),
+        dts=jnp.where(slot_mask, dt_min, 0.0),
+        t_cum=t_cum,
+        ts=jnp.where(slot_mask, t_kept, 0.0),
+        mask=slot_mask,
+    )
+
+
 def march_rays(
     rays_o,            # [N, 3]
     rays_d,            # [N, 3]
@@ -100,6 +202,9 @@ def march_rays(
     max_steps: int,    # K: candidate count (reference max_steps, default 1024)
     num_samples: int,  # S: retained sample slots per ray
     noise=None,        # [N] in [0,1) perturbation, or None
+    sup_bitfield=None, # optional dilated supercell mip (build_super_bitfield) —
+                       # enables the 2-phase hierarchical test (dt_gamma=0 only)
+    max_groups: int = 0,  # candidate-group slots for the hierarchical test
 ) -> MarchResult:
     H = grid_size
     H3 = H ** 3
@@ -110,6 +215,17 @@ def march_rays(
     t0 = nears
     if noise is not None:
         t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
+
+    if sup_bitfield is not None and max_groups > 0 and dt_gamma <= 0 and cascade == 1:
+        g = 8
+        span = (g - 1) * dt_min  # group extent around its midpoint is span/2
+        # soundness: every group member must stay within one supercell size of the
+        # representative (the dilation radius); otherwise fall back to flat tests
+        if span * 0.5 <= SUPER_FACTOR * 2.0 * bound / H and max_steps % g == 0:
+            return _march_rays_hier(
+                rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound, H,
+                max_steps, num_samples, dt_min, g,
+                min(max_groups, max_steps // g))
 
     ts = candidate_ts(t0, max_steps, dt_min, dt_max, dt_gamma)  # [N, K]
     dts = jnp.clip(ts * dt_gamma, dt_min, dt_max)

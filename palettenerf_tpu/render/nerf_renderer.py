@@ -26,9 +26,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.nerf import NeRFSpec, nerf_background, nerf_forward
+from ..models.nerf import NeRFSpec, encode_rand_for, nerf_background, nerf_forward
 from ..ops.composite import composite_rays
-from ..ops.march import march_rays
+from ..ops.march import build_super_bitfield, march_rays
 from ..ops.rays import near_far_from_aabb, sph_from_ray
 
 
@@ -53,6 +53,18 @@ class RenderSettings:
     compaction_rounds: tuple = ()
     # fused Pallas compositor on the eval path (forward-only; TPU backend only)
     use_pallas_composite: bool = False
+    # hierarchical 2-phase occupancy march: group slots for the coarse pass
+    # (0 = flat per-candidate tests; see ops/march.py build_super_bitfield)
+    march_groups: int = 0
+
+
+def _sup(bitfield, settings: RenderSettings):
+    """Dilated supercell mip for the hierarchical march (None when disabled).
+    Derived from the bitfield inside jit — loop-invariant, so XLA hoists it out
+    of scanned train steps."""
+    if settings.march_groups <= 0 or settings.dt_gamma > 0 or settings.cascade != 1:
+        return None
+    return build_super_bitfield(bitfield, settings.grid_size, settings.cascade)
 
 
 def _resolve_bg(params, spec: NeRFSpec, rays_o, rays_d, bg_color, settings: RenderSettings):
@@ -89,16 +101,19 @@ def render_nerf_train(
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
     bg = _resolve_bg(params, spec, rays_o, rays_d, bg_color, settings)
 
-    noise = jax.random.uniform(key, (n,)) if perturb else None
+    k_noise, k_enc = jax.random.split(key)
+    noise = jax.random.uniform(k_noise, (n,)) if perturb else None
     m = march_rays(
         rays_o, rays_d, nears, fars, bitfield,
         settings.bound, settings.cascade, settings.grid_size,
         settings.dt_gamma, settings.max_steps, settings.num_samples, noise,
+        sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
+    rand = encode_rand_for(k_enc, spec, n * settings.num_samples)
     sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3),
-                                dirs.reshape(-1, 3), training=True)
+                                dirs.reshape(-1, 3), training=True, rand=rand)
     sigmas = sigmas.reshape(n, -1) * settings.density_scale
     rgbs = rgbs.reshape(n, -1, 3)
 
@@ -235,6 +250,7 @@ def render_nerf_eval_compact(
         rays_o, rays_d, nears, fars, bitfield,
         settings.bound, settings.cascade, settings.grid_size,
         settings.dt_gamma, settings.max_steps, s_total, None,
+        sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
 
     image = jnp.zeros((n, 3), jnp.float32)
@@ -331,6 +347,7 @@ def render_nerf_eval(
         rays_o, rays_d, nears, fars, bitfield,
         settings.bound, settings.cascade, settings.grid_size,
         settings.dt_gamma, settings.max_steps, settings.num_samples, None,
+        sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
     sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))

@@ -25,12 +25,13 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..models.nerf import encode_rand_for
 from ..models.palette import PaletteSpec, palette_background, palette_forward
 from ..ops.composite import composite_channels, composite_weights
 from ..ops.march import march_rays
 from ..ops.rays import near_far_from_aabb, sph_from_ray
 from ..utils.color import hsv_to_rgb, rgb_to_hsv
-from .nerf_renderer import RenderSettings
+from .nerf_renderer import RenderSettings, _sup
 
 
 # --------------------------------------------------------------------------- edits
@@ -186,20 +187,22 @@ def render_palette_train(
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
     bg = _bg(params, spec, rays_o, rays_d, bg_color, settings)
 
-    k_noise, k_smooth = jax.random.split(key)
+    k_noise, k_smooth, k_enc = jax.random.split(key, 3)
     noise = jax.random.uniform(k_noise, (n,)) if perturb else None
     m = march_rays(
         rays_o, rays_d, nears, fars, bitfield, b, settings.cascade,
         settings.grid_size, settings.dt_gamma, settings.max_steps,
         settings.num_samples, noise,
+        sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
     S = settings.num_samples
     xyzs = m.xyzs.reshape(-1, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape).reshape(-1, 3)
     M = xyzs.shape[0]
 
+    rand = encode_rand_for(k_enc, spec, M)
     sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
-        params, spec, xyzs, dirs, training=True
+        params, spec, xyzs, dirs, training=True, rand=rand
     )
     sigma = jax.lax.stop_gradient(sigma * settings.density_scale)  # renderer.py:334-335
 
@@ -227,7 +230,7 @@ def render_palette_train(
             xyzs + jax.random.uniform(k_smooth, xyzs.shape) * b * 0.03, -b, b
         )
         _, clip_d, omega_d, _, _, diffuse_d = palette_forward(
-            params, spec, xyzs_diff, dirs, training=True)
+            params, spec, xyzs_diff, dirs, training=True, rand=rand)
         xyz_w = ((xyzs - xyzs_diff) ** 2).sum(-1, keepdims=True) / b ** 2 / spec.smooth_sigma_xyz
         rgb_w = ((diffuse - diffuse_d) ** 2).sum(-1, keepdims=True) / spec.smooth_sigma_color
         if spec.pred_clip and spec.smooth_sigma_clip > 0:
@@ -299,6 +302,7 @@ def render_palette_eval(
         rays_o, rays_d, nears, fars, bitfield, b, settings.cascade,
         settings.grid_size, settings.dt_gamma, settings.max_steps,
         settings.num_samples, None,
+        sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
     S = settings.num_samples
     xyzs = m.xyzs.reshape(-1, 3)

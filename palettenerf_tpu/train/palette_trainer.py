@@ -125,7 +125,11 @@ class PaletteTrainer(Trainer):
 
         def train_step(params, opt_state, ema, bitfield, key, rays_o, rays_d,
                        images, gt_feat, inds, lambda_weight, lambda_palette,
-                       freeze_basis_color, require_smooth_loss):
+                       width, freeze_basis_color, require_smooth_loss):
+            # ``width`` is a traced scalar: baking it in at trace time (the old
+            # Python-attribute approach) silently reused a stale W after a
+            # dataset swap — the same latent-bug class as the reference's
+            # opt.sigma_color (palette/utils.py:511)
             # freeze/smooth are static bools via partial-jit below
             k_bg, k_render = jax.random.split(key)
             rays_o, rays_d, images = shard_rays(mesh, rays_o, rays_d, images)
@@ -159,7 +163,7 @@ class PaletteTrainer(Trainer):
                 if (require_smooth_loss and opt.random_size > 0
                         and opt.lambda_patchsmooth > 0):
                     loss += opt.lambda_patchsmooth * patch_smooth_term(
-                        out, inds, self._train_width)
+                        out, inds, width)
                 loss += lambda_palette * (
                     (p["basis_color"] - p["basis_color_origin"]) ** 2
                 ).sum(-1).mean()
@@ -186,7 +190,7 @@ class PaletteTrainer(Trainer):
             return params, opt_state, ema, loss, per_ray
 
         self._train_step = jax.jit(
-            train_step, static_argnums=(12, 13), donate_argnums=(0, 1, 2)
+            train_step, static_argnums=(13, 14), donate_argnums=(0, 1, 2)
         )
 
         # ---- scanned fast path: K steps per dispatch, pixels sampled on device
@@ -260,6 +264,8 @@ class PaletteTrainer(Trainer):
         )
 
         def eval_chunk(params, bitfield, rays_o, rays_d, bg_color):
+            from ..parallel.mesh import shard_rays
+            rays_o, rays_d = shard_rays(self.mesh, rays_o, rays_d)
             return render_palette_eval(
                 params, spec, bitfield, rays_o, rays_d, eset, bg_color,
                 edit=self.edit, stylizer=self.stylizer,
@@ -307,6 +313,8 @@ class PaletteTrainer(Trainer):
         spec, eset = self.palette_spec, self.eval_settings
 
         def eval_chunk(params, bitfield, rays_o, rays_d, bg_color):
+            from ..parallel.mesh import shard_rays
+            rays_o, rays_d = shard_rays(self.mesh, rays_o, rays_d)
             return render_palette_eval(
                 params, spec, bitfield, rays_o, rays_d, eset, bg_color,
                 edit=self.edit, stylizer=self.stylizer,
@@ -394,14 +402,13 @@ class PaletteTrainer(Trainer):
         images = jnp.asarray(data["images"])
         gt_feat = jnp.asarray(
             data.get("feat_images", np.zeros((images.shape[0], clip_dim), np.float32)))
-        self._train_width = data["W"]
         inds = jnp.asarray(data.get("inds", np.zeros(images.shape[0], np.int64)))
         (self.params, self.opt_state, self.ema_params, loss, _per_ray) = self._train_step(
             self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
             key, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
             images, gt_feat, inds,
             jnp.float32(self.lambda_weight), jnp.float32(self.lambda_palette),
-            self.freeze_basis_color, self.require_smooth_loss,
+            jnp.int32(data["W"]), self.freeze_basis_color, self.require_smooth_loss,
         )
         return float(loss)
 
@@ -417,14 +424,13 @@ class PaletteTrainer(Trainer):
             gt_feat = jnp.asarray(
                 data.get("feat_images", np.zeros((images.shape[0], clip_dim), np.float32))
             )
-            self._train_width = data["W"]
             inds = jnp.asarray(data.get("inds", np.zeros(images.shape[0], np.int64)))
             (self.params, self.opt_state, self.ema_params, loss, per_ray) = self._train_step(
                 self.params, self.opt_state, self.ema_params, self.grid_state.bitfield,
                 k, jnp.asarray(data["rays_o"]), jnp.asarray(data["rays_d"]),
                 images, gt_feat, inds,
                 jnp.float32(self.lambda_weight), jnp.float32(self.lambda_palette),
-                self.freeze_basis_color, self.require_smooth_loss,
+                jnp.int32(data["W"]), self.freeze_basis_color, self.require_smooth_loss,
             )
             self.global_step += 1
             steps += 1

@@ -113,20 +113,17 @@ class Trainer:
             dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
             num_samples=opt.train_samples_per_ray, t_thresh=opt.t_thresh_train,
             min_near=opt.min_near, bg_radius=spec.bg_radius,
+            march_groups=self._march_groups(opt.train_samples_per_ray),
         )
         s_inf = opt.infer_samples_per_ray
-        rounds = ()
-        if getattr(opt, "eval_compaction", True) and s_inf % 4 == 0 and s_inf >= 16:
-            # static alive-ray compaction schedule (reference's inference loop,
-            # nerf/renderer.py:336-386): all rays march s/4 samples, the top 1/4
-            # by remaining transmittance continue s/4 more, the top 1/16 finish
-            rounds = ((1, s_inf // 4), (4, s_inf // 4), (16, s_inf // 2))
+        rounds = self._compaction_rounds(s_inf)
         self.eval_settings = RenderSettings(
             bound=spec.bound, cascade=cascade, grid_size=opt.grid_size,
             dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
             num_samples=s_inf, t_thresh=opt.t_thresh_infer,
             min_near=opt.min_near, bg_radius=spec.bg_radius,
             compaction_rounds=rounds,
+            march_groups=self._march_groups(s_inf),
         )
 
         # optimizer: Adam + per-step 0.1^(t/T) decay (main_nerf.py:141-151)
@@ -242,6 +239,11 @@ class Trainer:
         self._update_grid_partial = jax.jit(update_grid_partial, donate_argnums=(1,))
 
         def eval_chunk(params, bitfield, rays_o, rays_d, bg_color):
+            # eval renders shard over the ray axis too (the reference only ever
+            # all_gathers eval predictions, nerf/utils.py:977-992; here XLA
+            # partitions the whole render and gathers the outputs)
+            from ..parallel.mesh import shard_rays
+            rays_o, rays_d = shard_rays(self.mesh, rays_o, rays_d)
             return render_nerf_eval(params, spec, bitfield, rays_o, rays_d, eset, bg_color)
 
         self._eval_chunk = jax.jit(eval_chunk)
@@ -325,11 +327,14 @@ class Trainer:
         cost observed on TPU with the step-at-a-time loop.
         """
         t0 = time.time()
-        if not hasattr(self, "_dev_images"):
+        if getattr(self, "_dev_images_src", None) is not id(train_ds):
+            # (re)upload whenever a different dataset instance is passed — the
+            # cache previously never invalidated, silently training on old images
             imgs = train_ds.images
             self._dev_images = jnp.asarray(
                 imgs.reshape(imgs.shape[0], -1, imgs.shape[-1]))
             self._dev_poses = jnp.asarray(train_ds.poses)
+            self._dev_images_src = id(train_ds)
         B = len(train_ds.poses)
         order = np.random.permutation(B)
         interval = self.opt.update_extra_interval
@@ -573,13 +578,37 @@ class Trainer:
         out = self.render_image(ro, rd, bg_color)
         return {k: v.reshape(rH, rW, *v.shape[1:]) for k, v in out.items()}
 
+    def _march_groups(self, num_samples: int) -> int:
+        """Group-slot budget for the hierarchical occupancy march: enough groups
+        that every sample slot can come from a distinct group plus dilation slack
+        (each group spans 8 candidates). 0 disables (flat per-candidate tests)."""
+        mg = getattr(self.opt, "march_groups", -1)
+        if mg >= 0:
+            return mg
+        return max(16, num_samples // 4)
+
+    def _compaction_rounds(self, s_inf: int) -> tuple:
+        """Static alive-ray compaction schedule for an eval budget of ``s_inf``
+        samples/ray (the reference's inference loop, nerf/renderer.py:336-386):
+        all rays march s/4 samples, the top 1/4 by remaining transmittance
+        continue s/4 more, the top 1/16 finish."""
+        if getattr(self.opt, "eval_compaction", True) and s_inf % 4 == 0 and s_inf >= 16:
+            return ((1, s_inf // 4), (4, s_inf // 4), (16, s_inf // 2))
+        return ()
+
     def set_render_option(self, **kw):
         """Live render-settings update from GUI sliders (reference nerf/gui.py
         dt_gamma/max_steps sliders). Rebuilds the jitted fns — each new value
         combination compiles once, then hits the cache."""
         import dataclasses
 
-        self.train_settings = dataclasses.replace(self.train_settings, **kw)
+        self.train_settings = dataclasses.replace(
+            self.train_settings, **{k: v for k, v in kw.items()
+                                    if k != "compaction_rounds"})
+        if "num_samples" in kw and "compaction_rounds" not in kw:
+            # keep the eval compaction schedule consistent with the new sample
+            # budget (the GUI 'max samples' slider was a no-op otherwise)
+            kw = dict(kw, compaction_rounds=self._compaction_rounds(kw["num_samples"]))
         self.eval_settings = dataclasses.replace(self.eval_settings, **kw)
         self._build_jit_fns()
 

@@ -1,7 +1,9 @@
 """Sweep-renderer perf harness: times skip modes / block sizes / u_res on the
 attached chip with the bench.py volume (R=256, P=6). Not part of the test suite.
 
-Usage: python scripts/perf_sweep.py [mode ...]   e.g. `batch:8 batch:16 slice block`
+Usage: python scripts/perf_sweep.py [mode ...]   e.g. `none slice block block:448`
+(mode[:u_res] with mode in {none, slice, block} — the lax.cond skip granularity
+of the sweep compositor; u_res overrides the sweep-plane resolution)
 """
 
 import sys
@@ -14,7 +16,10 @@ sys.path.insert(0, ".")
 from bench import look_at, make_sweep_volume  # noqa: E402
 
 
-def time_mode(sv, skip, blk=8, u_res=512, H=800, W=800, n_frames=10):
+VALID_SKIP = ("none", "slice", "block")
+
+
+def time_mode(sv, skip, u_res=512, H=800, W=800, n_frames=10):
     import jax.numpy as jnp
 
     from palettenerf_tpu.render.palette_renderer import make_region_edit
@@ -31,7 +36,7 @@ def time_mode(sv, skip, blk=8, u_res=512, H=800, W=800, n_frames=10):
     def frame(i):
         pose = look_at((2.0 * np.sin(0.4 * i), 0.4, -2.0 * np.cos(0.4 * i)))
         return render_sweep(sv, pose, intr, H, W, u_res=u_res,
-                            basis_color=bc, edit=edit, skip=skip, blk=blk)
+                            basis_color=bc, edit=edit, skip=skip)
 
     out = frame(0)
     _ = float(out["image"].sum())
@@ -45,18 +50,15 @@ def time_mode(sv, skip, blk=8, u_res=512, H=800, W=800, n_frames=10):
 
 
 def main():
-    modes = sys.argv[1:] or ["batch:8", "batch:16", "batch:4", "slice", "block"]
+    modes = sys.argv[1:] or ["none", "slice", "block"]
     sv = make_sweep_volume()
     print("volume ready", flush=True)
     for m in modes:
-        if ":" in m:
-            skip, _, rest = m.partition(":")
-            parts = rest.split(":")
-            blk = int(parts[0])
-            u_res = int(parts[1]) if len(parts) > 1 else 512
-        else:
-            skip, blk, u_res = m, 8, 512
-        dt = time_mode(sv, skip, blk, u_res)
+        skip, _, rest = m.partition(":")
+        if skip not in VALID_SKIP:
+            raise SystemExit(f"unknown skip mode {skip!r}; valid: {VALID_SKIP}")
+        u_res = int(rest) if rest else 512
+        dt = time_mode(sv, skip, u_res)
         print(f"{m:12s} u{u_res}: {dt * 1e3:7.1f} ms/frame = {1 / dt:6.2f} fps",
               flush=True)
 

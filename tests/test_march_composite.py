@@ -178,3 +178,76 @@ def test_composite_sigma_gradient_matches_analytic():
         + g_ws * (1 - ws_final)
     )
     np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-5)
+
+
+class TestHierarchicalMarch:
+    """2-phase hierarchical march (ops/march.py _march_rays_hier) vs flat path."""
+
+    def _scene(self, n=64, key=0):
+        import numpy as np
+        rng = np.random.default_rng(key)
+        G = 64
+        r = (2 * (np.arange(G) + 0.5) / G - 1)
+        X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+        occ = ((X - 0.2) ** 2 + Y ** 2 + Z ** 2) < 0.3
+        occ |= ((X + 0.5) ** 2 + (Y + 0.4) ** 2 + Z ** 2) < 0.05
+        from palettenerf_tpu.ops.occupancy import packbits
+        bitfield = packbits(jnp.asarray(occ.reshape(-1).astype(np.uint8)))
+        z = rng.normal(size=(n, 3)) * 0.25 + np.asarray([0, 0, 1.0])
+        rd = z / np.linalg.norm(z, axis=-1, keepdims=True)
+        ro = np.broadcast_to(np.asarray([0.0, 0.0, -1.6]), (n, 3))
+        from palettenerf_tpu.ops.rays import near_far_from_aabb
+        nears, fars = near_far_from_aabb(
+            jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32),
+            jnp.asarray([-1., -1, -1, 1, 1, 1]), 0.2)
+        return bitfield, jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32), nears, fars, G
+
+    def test_matches_flat_when_groups_suffice(self):
+        """With max_groups = K/8 (no truncation possible) the hierarchical result
+        must be bit-identical to the flat path: the dilated coarse test is
+        conservative, so it can only skip candidates the fine test also rejects."""
+        from palettenerf_tpu.ops.march import build_super_bitfield, march_rays
+        bitfield, ro, rd, nears, fars, G = self._scene()
+        K, S = 256, 64
+        sup = build_super_bitfield(bitfield, G, 1)
+        flat = march_rays(ro, rd, nears, fars, bitfield, 1.0, 1, G, 0.0, K, S, None)
+        hier = march_rays(ro, rd, nears, fars, bitfield, 1.0, 1, G, 0.0, K, S, None,
+                          sup_bitfield=sup, max_groups=K // 8)
+        np.testing.assert_array_equal(np.asarray(flat.mask), np.asarray(hier.mask))
+        np.testing.assert_allclose(np.asarray(flat.ts), np.asarray(hier.ts), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(flat.xyzs), np.asarray(hier.xyzs), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(flat.dts), np.asarray(hier.dts), atol=1e-6)
+
+    def test_with_noise_and_small_groups(self):
+        """Truncated group budget still yields a valid prefix of the flat samples."""
+        from palettenerf_tpu.ops.march import build_super_bitfield, march_rays
+        bitfield, ro, rd, nears, fars, G = self._scene(n=32, key=3)
+        K, S = 256, 32
+        sup = build_super_bitfield(bitfield, G, 1)
+        noise = jax.random.uniform(jax.random.PRNGKey(0), (32,))
+        flat = march_rays(ro, rd, nears, fars, bitfield, 1.0, 1, G, 0.0, K, S, noise)
+        hier = march_rays(ro, rd, nears, fars, bitfield, 1.0, 1, G, 0.0, K, S, noise,
+                          sup_bitfield=sup, max_groups=8)
+        fm, hm = np.asarray(flat.mask), np.asarray(hier.mask)
+        ft, ht = np.asarray(flat.ts), np.asarray(hier.ts)
+        for i in range(32):
+            nh = hm[i].sum()
+            # hier samples are a prefix of flat samples (same t values, in order)
+            assert nh <= fm[i].sum() + 1e-9
+            np.testing.assert_allclose(ht[i, :nh], ft[i, :nh], atol=1e-6)
+
+    def test_super_bitfield_conservative(self):
+        """Every occupied fine cell's supercell (and neighbours) must be set."""
+        from palettenerf_tpu.ops.march import build_super_bitfield
+        from palettenerf_tpu.ops.occupancy import occ_lookup, packbits
+        import numpy as np
+        rng = np.random.default_rng(0)
+        G = 32
+        occ = rng.random((G, G, G)) < 0.01
+        bitfield = packbits(jnp.asarray(occ.reshape(-1).astype(np.uint8)))
+        sup = build_super_bitfield(bitfield, G, 1)
+        Hs = G // 4
+        sup_bits = np.unpackbits(np.asarray(sup), bitorder="little")[:Hs ** 3].reshape(Hs, Hs, Hs)
+        xs, ys, zs = np.nonzero(occ)
+        for x, y, z in list(zip(xs, ys, zs))[:200]:
+            assert sup_bits[x // 4, y // 4, z // 4] == 1
