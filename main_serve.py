@@ -63,6 +63,17 @@ def main():
     ap.add_argument("--edit_std", type=float, default=0.3)
     ap.add_argument("--density_thresh", type=float, default=1.0,
                     help="bake-time sigma floor for slice occupancy")
+    ap.add_argument("--vd_bands", type=int, default=3,
+                    help="SH bands for baked view-dependent color (0 = diffuse only)")
+    ap.add_argument("--view_dep_weight", type=float, default=1.0,
+                    help="scale of the baked view-dependent channel (eval dial)")
+    ap.add_argument("--pred_clip", action="store_true",
+                    help="checkpoint predicts clip features (bakes the clip volume)")
+    ap.add_argument("--clip_dim", type=int, default=16)
+    ap.add_argument("--edit_clip_xyz", type=float, nargs=3, default=None,
+                    help="pick a point; its baked clip feature becomes the "
+                         "semantic edit center (requires --pred_clip)")
+    ap.add_argument("--edit_clip_std", type=float, default=0.5)
     ap.add_argument("--grid_levels", type=int, default=16)
     ap.add_argument("--grid_level_dim", type=int, default=2)
     ap.add_argument("--log2_hashmap_size", type=int, default=19)
@@ -75,7 +86,8 @@ def main():
     from palettenerf_tpu.render.baking import bake_palette
     from palettenerf_tpu.render.palette_renderer import (
         make_region_edit, region_edit_delta_hsv)
-    from palettenerf_tpu.render.sweep import build_sweep_volume, render_sweep
+    from palettenerf_tpu.render.sweep import (
+        build_clip_masks, build_sweep_volume, render_sweep)
     from palettenerf_tpu.train import checkpoint as ckpt_lib
 
     ckpt = find_checkpoint(args.workspace)
@@ -87,10 +99,13 @@ def main():
     spec = PaletteSpec.build(bound=args.bound, num_basis=P,
                              grid_levels=args.grid_levels,
                              grid_level_dim=args.grid_level_dim,
-                             log2_hashmap_size=args.log2_hashmap_size)
-    print(f"[serve] ckpt {ckpt} (P={P}); baking {args.resolution}^3 ...", flush=True)
+                             log2_hashmap_size=args.log2_hashmap_size,
+                             pred_clip=args.pred_clip, clip_dim=args.clip_dim)
+    print(f"[serve] ckpt {ckpt} (P={P}); baking {args.resolution}^3 "
+          f"(vd_bands={args.vd_bands}) ...", flush=True)
     t0 = time.perf_counter()
-    baked = bake_palette(params, spec, resolution=args.resolution)
+    baked = bake_palette(params, spec, resolution=args.resolution,
+                         vd_bands=args.vd_bands)
 
     # occupancy-mask the bake with the training BITFIELD (the exact cell set the
     # marcher sampled): the field is unconstrained fog in never-sampled cells,
@@ -102,9 +117,10 @@ def main():
         G = round(np.asarray(gs["density_grid"]).shape[-1] ** (1 / 3) + 1e-6)
         occ = np.unpackbits(bf, bitorder="little")[: G ** 3].reshape(G, G, G)
         R = args.resolution
-        reps = R // G
-        occ_up = np.repeat(np.repeat(np.repeat(occ.astype(bool), reps, 0),
-                                     reps, 1), reps, 2)
+        # map baked voxel centers to occupancy cells (works for any R vs G,
+        # not just exact multiples)
+        cell = np.minimum((np.arange(R) + 0.5) * G // R, G - 1).astype(np.int64)
+        occ_up = occ.astype(bool)[np.ix_(cell, cell, cell)]
         baked = baked._replace(
             density=baked.density * jnp.asarray(occ_up, jnp.float32))
         print(f"[serve] bitfield-masked bake ({occ.mean():.1%} cells occupied)",
@@ -120,9 +136,23 @@ def main():
         new_pal = palette.copy()
         new_pal[args.edit_basis] = args.edit_rgb
         dh = region_edit_delta_hsv(jnp.asarray(palette), jnp.asarray(new_pal))
+        mean_clip = None
+        clip_masks = None
+        if args.edit_clip_xyz is not None:
+            assert baked.clip_feat is not None, "--edit_clip_xyz needs --pred_clip"
+            Rr = args.resolution
+            ijk = np.clip(((np.asarray(args.edit_clip_xyz) + args.bound)
+                           / (2 * args.bound) * (Rr - 1)).round().astype(int),
+                          0, Rr - 1)
+            mean_clip = np.asarray(baked.clip_feat)[ijk[0], ijk[1], ijk[2]]
+            clip_masks = build_clip_masks(baked.clip_feat, mean_clip,
+                                          args.edit_clip_std)
+            print(f"[serve] semantic edit mask from clip@{args.edit_clip_xyz}",
+                  flush=True)
         edit = make_region_edit(
-            P, clip_dim=1,
-            mean_xyz=args.edit_xyz, std_xyz=args.edit_std)._replace(delta_hsv=dh)
+            P, clip_dim=(args.clip_dim if mean_clip is not None else 1),
+            mean_xyz=args.edit_xyz, std_xyz=args.edit_std,
+            mean_clip=mean_clip, std_clip=args.edit_clip_std)._replace(delta_hsv=dh)
         print(f"[serve] recoloring basis {args.edit_basis} "
               f"{palette[args.edit_basis].round(3)} -> {args.edit_rgb}", flush=True)
 
@@ -174,9 +204,14 @@ def main():
         f = 0.5 * args.H / np.tan(np.radians(args.fovy) / 2)
         intr = (f, f, args.W / 2, args.H / 2)
 
+    if args.edit_basis < 0:
+        clip_masks = None
+
     def frame(i):
         return render_sweep(sv, pose_at(i), intr, args.H, args.W, u_res=args.u_res,
-                            basis_color=bc, edit=edit)
+                            basis_color=bc, edit=edit,
+                            view_dep_weight=args.view_dep_weight,
+                            clip_masks=clip_masks)
 
     out = frame(0)
     _ = float(out["image"].sum())

@@ -33,70 +33,162 @@ class BakedVolume(NamedTuple):
     omega: Optional[jnp.ndarray]    # [R, R, R, P] or None (plain NeRF bake)
     offsets: Optional[jnp.ndarray]  # [R, R, R, 3P]
     radiance: Optional[jnp.ndarray]  # [R, R, R]
+    # view-dependent color as per-voxel SH coefficients (SNeRG-style; matches the
+    # reference's view_dep compositing, palette/renderer.py:484,494). Channel-major
+    # layout [.., 3*B]: [r coeffs | g coeffs | b coeffs], B = vd_bands^2.
+    view_sh: Optional[jnp.ndarray] = None   # [R, R, R, 3*B]
+    vd_bands: int = 0
+    clip_feat: Optional[jnp.ndarray] = None  # [R, R, R, clip_dim] (palette+clip only)
 
 
-def bake_nerf(params, spec, resolution: int = 256, chunk: int = 131072) -> BakedVolume:
-    """Bake a stage-1 NeRF: density + diffuse color (direction-averaged: queried at a
-    fixed canonical direction; view-dependence is dropped, as in SNeRG's diffuse term)."""
-    from ..models.nerf import nerf_forward
+def _fibonacci_dirs(n: int) -> np.ndarray:
+    """n roughly-uniform unit directions (spherical Fibonacci lattice)."""
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+    return np.stack([np.sin(phi) * np.cos(theta),
+                     np.sin(phi) * np.sin(theta),
+                     np.cos(phi)], -1).astype(np.float32)
+
+
+def _sh_fit(dirs: np.ndarray, bands: int) -> np.ndarray:
+    """Least-squares SH projection weights W [B, Nd]: coeffs = W @ samples."""
+    from ..ops.sh import sh_encode
+    Y = np.asarray(sh_encode(jnp.asarray(dirs), bands))    # [Nd, B]
+    return np.linalg.pinv(Y).astype(np.float32)
+
+
+def bake_nerf(params, spec, resolution: int = 256, chunk: int = 131072,
+              vd_bands: int = 0, vd_dirs: int = 32) -> BakedVolume:
+    """Bake a stage-1 NeRF: density + diffuse color (queried at a fixed canonical
+    direction) and, when ``vd_bands > 0``, per-voxel SH coefficients of the FULL
+    view-dependent color minus the canonical diffuse (the sweep/baked renderers
+    reconstruct color as diffuse + Y(d) . coeffs)."""
+    from ..models.nerf import nerf_color, nerf_density
 
     b = spec.bound
     lin = np.linspace(-b, b, resolution, dtype=np.float32)
     grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
-    d_canon = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (chunk, 1))
+    d_canon = np.array([0.0, 0.0, 1.0], np.float32)
+    B = vd_bands * vd_bands
+    if vd_bands:
+        dirs = _fibonacci_dirs(vd_dirs)
+        W = jnp.asarray(_sh_fit(dirs, vd_bands))           # [B, Nd]
+        dirs_j = jnp.asarray(dirs)
 
-    f = jax.jit(lambda p, x, d: nerf_forward(p, spec, x, d))
+    def eval_chunk(p, x):
+        dens = nerf_density(p, spec, x)
+        geo = dens["geo_feat"]
+        dc = jnp.broadcast_to(d_canon, x.shape)
+        diffuse = nerf_color(p, spec, dc, geo)
+        out = (dens["sigma"], diffuse)
+        if vd_bands:
+            vd = jax.lax.map(
+                lambda d: nerf_color(p, spec, jnp.broadcast_to(d, x.shape), geo)
+                - diffuse,
+                dirs_j)                                     # [Nd, M, 3]
+            coef = jnp.einsum("bn,nmc->mcb", W, vd).reshape(x.shape[0], 3 * B)
+            out = out + (coef,)
+        return out
+
+    f = jax.jit(eval_chunk)
     sig = np.zeros(len(grid), np.float32)
     diff = np.zeros((len(grid), 3), np.float32)
+    vsh = np.zeros((len(grid), 3 * B), np.float32) if vd_bands else None
     for s in range(0, len(grid), chunk):
         pts = grid[s:s + chunk]
         pad = chunk - len(pts)
         if pad:
             pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-        sg, rgb = f(params, jnp.asarray(pts), jnp.asarray(d_canon))
-        end = s + chunk - pad
-        sig[s:end] = np.asarray(sg)[: chunk - pad]
-        diff[s:end] = np.asarray(rgb)[: chunk - pad]
+        outs = f(params, jnp.asarray(pts))
+        n = chunk - pad
+        end = s + n
+        sig[s:end] = np.asarray(outs[0])[:n]
+        diff[s:end] = np.asarray(outs[1])[:n]
+        if vd_bands:
+            vsh[s:end] = np.asarray(outs[2])[:n]
     R = resolution
     return BakedVolume(R, b, jnp.asarray(sig.reshape(R, R, R)),
-                       jnp.asarray(diff.reshape(R, R, R, 3)), None, None, None)
+                       jnp.asarray(diff.reshape(R, R, R, 3)), None, None, None,
+                       view_sh=(jnp.asarray(vsh.reshape(R, R, R, 3 * B))
+                                if vd_bands else None),
+                       vd_bands=vd_bands)
 
 
-def bake_palette(params, spec, resolution: int = 256, chunk: int = 131072) -> BakedVolume:
-    """Bake a PaletteNeRF: density + palette quantities (keeps recoloring editable)."""
-    from ..models.palette import palette_forward
+def bake_palette(params, spec, resolution: int = 256, chunk: int = 131072,
+                 vd_bands: int = 3, vd_dirs: int = 32,
+                 bake_clip: bool = True) -> BakedVolume:
+    """Bake a PaletteNeRF: density + palette quantities (keeps recoloring editable),
+    per-voxel SH coefficients of ``view_dep`` (``vd_bands`` > 0; the additive
+    view-dependent channel of palette/renderer.py:349-351,484,494), and — when the
+    model predicts clip features — the clip volume for baked semantic edit masks."""
+    from ..models.palette import palette_forward, palette_view_dep
 
     b = spec.bound
     P = spec.num_basis
     lin = np.linspace(-b, b, resolution, dtype=np.float32)
     grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
-    d_canon = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (chunk, 1))
+    d_canon = np.array([0.0, 0.0, 1.0], np.float32)
+    B = vd_bands * vd_bands
+    if vd_bands:
+        dirs = _fibonacci_dirs(vd_dirs)
+        W = jnp.asarray(_sh_fit(dirs, vd_bands))            # [B, Nd]
+        dirs_j = jnp.asarray(dirs)
+    want_clip = bool(bake_clip and spec.pred_clip)
 
-    f = jax.jit(lambda p, x, d: palette_forward(p, spec, x, d))
+    def eval_chunk(p, x):
+        from ..models.palette import palette_density
+        dc = jnp.broadcast_to(d_canon, x.shape)
+        sg, clip_feat, omega, off_rad, _vd, diffuse = palette_forward(p, spec, x, dc)
+        out = [sg, diffuse, omega, off_rad]
+        if vd_bands:
+            geo = palette_density(p, spec, x)["geo_feat"]
+            vd = jax.lax.map(
+                lambda d: palette_view_dep(p, spec, jnp.broadcast_to(d, x.shape), geo),
+                dirs_j)                                      # [Nd, M, 3]
+            out.append(jnp.einsum("bn,nmc->mcb", W, vd).reshape(x.shape[0], 3 * B))
+        if want_clip:
+            out.append(clip_feat)
+        return tuple(out)
+
+    f = jax.jit(eval_chunk)
     sig = np.zeros(len(grid), np.float32)
     diff = np.zeros((len(grid), 3), np.float32)
     om = np.zeros((len(grid), P), np.float32)
     off = np.zeros((len(grid), 3 * P), np.float32)
     rad = np.zeros(len(grid), np.float32)
+    vsh = np.zeros((len(grid), 3 * B), np.float32) if vd_bands else None
+    clp = np.zeros((len(grid), spec.clip_dim), np.float32) if want_clip else None
     for s in range(0, len(grid), chunk):
         pts = grid[s:s + chunk]
         pad = chunk - len(pts)
         if pad:
             pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-        sg, _clip, omega, off_rad, _vd, diffuse = f(params, jnp.asarray(pts), jnp.asarray(d_canon))
+        outs = f(params, jnp.asarray(pts))
         n = chunk - pad
         end = s + n
-        sig[s:end] = np.asarray(sg)[:n]
-        diff[s:end] = np.asarray(diffuse)[:n]
-        om[s:end] = np.asarray(omega)[:n]
-        off[s:end] = np.asarray(off_rad)[:n, :-1]
-        rad[s:end] = np.asarray(off_rad)[:n, -1]
+        sig[s:end] = np.asarray(outs[0])[:n]
+        diff[s:end] = np.asarray(outs[1])[:n]
+        om[s:end] = np.asarray(outs[2])[:n]
+        off[s:end] = np.asarray(outs[3])[:n, :-1]
+        rad[s:end] = np.asarray(outs[3])[:n, -1]
+        k = 4
+        if vd_bands:
+            vsh[s:end] = np.asarray(outs[k])[:n]
+            k += 1
+        if want_clip:
+            clp[s:end] = np.asarray(outs[k])[:n]
     R = resolution
     return BakedVolume(R, b, jnp.asarray(sig.reshape(R, R, R)),
                        jnp.asarray(diff.reshape(R, R, R, 3)),
                        jnp.asarray(om.reshape(R, R, R, P)),
                        jnp.asarray(off.reshape(R, R, R, 3 * P)),
-                       jnp.asarray(rad.reshape(R, R, R)))
+                       jnp.asarray(rad.reshape(R, R, R)),
+                       view_sh=(jnp.asarray(vsh.reshape(R, R, R, 3 * B))
+                                if vd_bands else None),
+                       vd_bands=vd_bands,
+                       clip_feat=(jnp.asarray(clp.reshape(R, R, R, spec.clip_dim))
+                                  if want_clip else None))
 
 
 def _trilinear(vol, x01):
@@ -118,13 +210,16 @@ def _trilinear(vol, x01):
 
 def fuse_volume(baked: BakedVolume) -> jnp.ndarray:
     """Concatenate all channels into one [R^3, C_total] array so rendering needs ONE
-    row gather per trilinear corner (gather cost on TPU is row-count-bound)."""
+    row gather per trilinear corner (gather cost on TPU is row-count-bound).
+    Layout: [density, diffuse(3), (omega P, offsets 3P, radiance), (view_sh 3B)]."""
     R = baked.resolution
     parts = [baked.density.reshape(R ** 3, 1), baked.diffuse.reshape(R ** 3, 3)]
     if baked.omega is not None:
         P = baked.omega.shape[-1]
         parts += [baked.omega.reshape(R ** 3, P), baked.offsets.reshape(R ** 3, 3 * P),
                   baked.radiance.reshape(R ** 3, 1)]
+    if baked.view_sh is not None:
+        parts.append(baked.view_sh.reshape(R ** 3, -1))
     return jnp.concatenate(parts, -1)
 
 
@@ -146,13 +241,16 @@ def _trilinear_flat(flat, R, x01):
 
 def render_baked(baked: BakedVolume, rays_o, rays_d, num_samples: int = 192,
                  t_thresh: float = 1e-2, bg_color=1.0, min_near: float = 0.05,
-                 basis_color=None, density_scale: float = 1.0, fused=None):
+                 basis_color=None, density_scale: float = 1.0, fused=None,
+                 view_dep_weight: float = 1.0):
     """XLA reference renderer over a baked volume (golden check for the tiled kernel).
 
     For palette bakes, pass ``basis_color`` [P,3] (possibly edited!) — the blend
     ``sum_p omega_p * softplus(radiance) * (basis_color_p + offsets_p)`` happens at
     render time, so palette edits stay live without re-baking. Pass a precomputed
-    ``fused = fuse_volume(baked)`` to avoid re-fusing per call.
+    ``fused = fuse_volume(baked)`` to avoid re-fusing per call. When the bake
+    carries view-SH coefficients, the per-sample color adds
+    ``view_dep_weight * Y(d) . coeffs`` (palette/renderer.py:484,494 semantics).
     """
     from ..ops.composite import composite_rays
     from ..ops.rays import near_far_from_aabb
@@ -181,8 +279,17 @@ def render_baked(baked: BakedVolume, rays_o, rays_d, num_samples: int = 192,
         rad = feats[:, 4 + 4 * P:4 + 4 * P + 1, None]
         bc = jnp.clip(jnp.asarray(basis_color), 0, 1)[None]
         rgb = (om * (jax.nn.softplus(rad) * (bc + off))).sum(-2)
+        vd_at = 5 + 4 * P
     else:
         rgb = feats[:, 1:4]
+        vd_at = 4
+    if baked.view_sh is not None and baked.vd_bands:
+        from ..ops.sh import sh_encode
+        B = baked.vd_bands * baked.vd_bands
+        Y = sh_encode(rays_d, baked.vd_bands)                    # [n, B]
+        coef = feats[:, vd_at:vd_at + 3 * B].reshape(-1, num_samples, 3, B)
+        vd = jnp.einsum("nb,nscb->nsc", Y, coef).reshape(-1, 3)
+        rgb = rgb + view_dep_weight * vd
     rgb = rgb.reshape(n, num_samples, 3)
 
     mask = ts < fars[:, None]

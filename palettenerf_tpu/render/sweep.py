@@ -57,11 +57,18 @@ class SweepVolume(NamedTuple):
     num_basis: int                       # 0 for a plain NeRF bake
     vols: Tuple[jnp.ndarray, ...]        # 3 x [Z, X, C, Y] bf16, axis-major
     occ: Tuple[jnp.ndarray, ...]         # 3 x [Z] bool — slice has any density
+    vd_bands: int = 0                    # SH bands of the baked view-dep channels
 
 
 # channel layout inside vols (CHANNEL-MIDDLE [Z, X, C, Y]):
 #   nerf:    [sigma, r, g, b]                                   C = 4
 #   palette: [sigma, omega(P), off_r(P), off_g(P), off_b(P), rad] C = 2 + 4P
+# When the bake carries view-dependent SH (vd_bands > 0), 3*B coefficient
+# channels append to either layout ([r coeffs | g | b], B = vd_bands^2); the
+# sweep composites them into rgb as Y(d_pixel) . coeffs — compositing is LINEAR
+# in the coefficients, so the per-pixel SH basis applies per SLICE at ~B madds
+# per pixel, reproducing the exact path's additive view_dep channel
+# (palette/renderer.py:484,494).
 # Channel-middle makes the second interpolation matmul emit [Ucol, C, Urow]
 # directly, so every per-channel plane is a contiguous [Ucol, Urow] slice with
 # the 512-wide image axis in the lane dimension — no moveaxis transposes, and
@@ -82,6 +89,8 @@ def build_sweep_volume(baked: BakedVolume, sigma_thresh: float = 1e-3) -> SweepV
                  baked.offsets[..., 2::3], baked.radiance[..., None]]
     else:
         parts = [baked.density[..., None], baked.diffuse]
+    if baked.view_sh is not None and baked.vd_bands:
+        parts.append(baked.view_sh)
     vol4 = jnp.concatenate(parts, -1)  # [R, R, R, C] world-axis order
 
     vols, occs = [], []
@@ -90,7 +99,22 @@ def build_sweep_volume(baked: BakedVolume, sigma_thresh: float = 1e-3) -> SweepV
         perm = (a, (a + 1) % 3, 3, (a + 2) % 3)          # -> [Z, X, C, Y]
         vols.append(jnp.transpose(vol4, perm).astype(jnp.bfloat16))
         occs.append(jnp.asarray(occ_any.any(axis=tuple(i for i in range(3) if i != a))))
-    return SweepVolume(R, float(baked.bound), P, tuple(vols), tuple(occs))
+    return SweepVolume(R, float(baked.bound), P, tuple(vols), tuple(occs),
+                       vd_bands=(baked.vd_bands if baked.view_sh is not None else 0))
+
+
+def build_clip_masks(clip_feat, mean_clip, std_clip,
+                     sigma_thresh_mask: float = 0.0) -> Tuple[jnp.ndarray, ...]:
+    """Semantic edit-mask volumes for the sweep: exp(-||clip - mean||^2 / std)
+    evaluated ONCE over the baked clip volume (the exact path computes the same
+    weight per sample from the live network, palette/renderer.py:127-136). Returns
+    one axis-major [Z, X, Y] bf16 copy per sweep axis; rebuild on mean/std change
+    (~R^3 * clip_dim flops, milliseconds)."""
+    m = jnp.exp(-((clip_feat - jnp.asarray(mean_clip)) ** 2).sum(-1)
+                / jnp.asarray(std_clip))
+    return tuple(
+        jnp.transpose(m, (a, (a + 1) % 3, (a + 2) % 3)).astype(jnp.bfloat16)
+        for a in range(3))
 
 
 class SweepPlan(NamedTuple):
@@ -215,18 +239,24 @@ def _hsv_edit_planar(r, g, b, dh, ds, dv, wgt):
 #   7    z_ref            8  dsign (<0 -> flip)
 #   9    offsets_weight  10  density_scale   11  min_near   12  bound
 #  13:16 edit mean_xyz (permuted frame)     16  use_xyz     17  std_xyz
-_UNI_LEN = 18
+#  18    view_dep_weight
+#  19:28 world-from-permuted rotation rows (for SH directions in world frame)
+_UNI_LEN = 28
 
 
 @partial(jax.jit, static_argnames=(
     "num_basis", "u_res", "t_thresh", "weight_mode", "has_edit", "edit_cull",
-    "skip", "unroll"))
+    "skip", "unroll", "vd_bands", "has_style", "has_mask"))
 def _sweep_composite(
     vol,            # [Z, X, C, Y] bf16
     occ,            # [Z] bool
     basis_color,    # [P, 3] (or [1, 3] dummy for nerf mode)
     delta_hsv,      # [P, 3] RegionEdit per-basis dH/dS/dV
     uni,            # [_UNI_LEN] f32 packed per-frame uniforms (see above)
+    mask_vol,       # [Z, X, Y] bf16 semantic edit mask (dummy [1,1,1] when off)
+    sty_dI,         # [P] stylizer intensity offsets (dummy when has_style=False)
+    sty_dP,         # [P, 3] stylizer palette offsets
+    sty_dd,         # [P, 3, 3] stylizer offset transforms
     *,
     num_basis: int,
     u_res: int,
@@ -236,6 +266,9 @@ def _sweep_composite(
     edit_cull: bool = False,  # per-slice HSV skip for tight spatial edits
     skip: str = "slice",   # none | slice | block — lax.cond granularity
     unroll: int = 1,
+    vd_bands: int = 0,     # baked view-dep SH bands carried in the channel tail
+    has_style: bool = False,
+    has_mask: bool = False,
 ):
     """Front-to-back sweep over slices; returns intermediate maps
     [U, U, 5] = (rgb, depth_abs, weights_sum), rows = grid-y, cols = grid-x.
@@ -266,20 +299,63 @@ def _sweep_composite(
     z_vals = -bound + dz_world * jnp.arange(Z, dtype=jnp.float32)
     flip = uni[8] < 0
 
-    def shade(feat, lam, zk):
+    B = vd_bands * vd_bands
+    vd0 = C - 3 * B  # view-SH channels occupy the tail of the layout
+    if vd_bands:
+        from ..ops.sh import sh_encode
+        # per-intermediate-pixel ray direction: one pixel == one camera ray
+        # through its reference-plane point; rotate permuted->world for SH
+        dp = jnp.stack([jnp.broadcast_to(z_ref - o_p[0], (U, U)),
+                        qx - o_p[1], qy - o_p[2]], -1)
+        dp = dp / jnp.linalg.norm(dp, axis=-1, keepdims=True)
+        w_from_p = uni[19:28].reshape(3, 3)
+        dw = jnp.einsum("ij,uvj->uvi", w_from_p, dp)
+        Ysh = jnp.moveaxis(sh_encode(dw, vd_bands), -1, 1)         # [Ucol, B, Urow]
+        vdw = uni[18]
+
+    def shade(feat, lam, zk, mask_uv):
         """feat [Ucol, C, Urow] -> sigma, r, g, b each [Ucol, Urow]."""
         sigma = feat[:, 0, :] * density_scale
+
+        def add_vd(r, g, b):
+            if not vd_bands:
+                return r, g, b
+            cr = (feat[:, vd0:vd0 + B, :] * Ysh).sum(1)
+            cg = (feat[:, vd0 + B:vd0 + 2 * B, :] * Ysh).sum(1)
+            cb = (feat[:, vd0 + 2 * B:vd0 + 3 * B, :] * Ysh).sum(1)
+            return r + vdw * cr, g + vdw * cg, b + vdw * cb
+
         if P == 0:
-            return sigma, feat[:, 1, :], feat[:, 2, :], feat[:, 3, :]
+            r, g, b = add_vd(feat[:, 1, :], feat[:, 2, :], feat[:, 3, :])
+            return sigma, r, g, b
         om = feat[:, 1:1 + P, :]                                  # [Ucol, P, Urow]
         off_r = feat[:, 1 + P:1 + 2 * P, :]
         off_g = feat[:, 1 + 2 * P:1 + 3 * P, :]
         off_b = feat[:, 1 + 3 * P:1 + 4 * P, :]
         srad = jax.nn.softplus(feat[:, 1 + 4 * P, :])[:, None, :]  # [Ucol, 1, Urow]
         bc = jnp.clip(basis_color, 0.0, 1.0)
-        fr = srad * (bc[None, :, 0, None] + offsets_weight * off_r)
-        fg = srad * (bc[None, :, 1, None] + offsets_weight * off_g)
-        fb = srad * (bc[None, :, 2, None] + offsets_weight * off_b)
+        if has_style:
+            # Stylizer (palette/renderer.py:166-183): intensity offsets, palette
+            # offsets, and a 3x3 per-basis transform of the offsets, with the
+            # product clipped to [0,1] as in the reference
+            srad = jnp.clip(srad + sty_dI[None, :, None], 0.0, None)
+            bc = bc + sty_dP
+            o_r = offsets_weight * off_r
+            o_g = offsets_weight * off_g
+            o_b = offsets_weight * off_b
+            t_r = (o_r * sty_dd[None, :, 0, 0, None] + o_g * sty_dd[None, :, 1, 0, None]
+                   + o_b * sty_dd[None, :, 2, 0, None])
+            t_g = (o_r * sty_dd[None, :, 0, 1, None] + o_g * sty_dd[None, :, 1, 1, None]
+                   + o_b * sty_dd[None, :, 2, 1, None])
+            t_b = (o_r * sty_dd[None, :, 0, 2, None] + o_g * sty_dd[None, :, 1, 2, None]
+                   + o_b * sty_dd[None, :, 2, 2, None])
+            fr = jnp.clip(srad * (bc[None, :, 0, None] + t_r), 0.0, 1.0)
+            fg = jnp.clip(srad * (bc[None, :, 1, None] + t_g), 0.0, 1.0)
+            fb = jnp.clip(srad * (bc[None, :, 2, None] + t_b), 0.0, 1.0)
+        else:
+            fr = srad * (bc[None, :, 0, None] + offsets_weight * off_r)
+            fg = srad * (bc[None, :, 1, None] + offsets_weight * off_g)
+            fb = srad * (bc[None, :, 2, None] + offsets_weight * off_b)
         if has_edit:
             # RegionEdit per sample. xyz is in the PERMUTED frame; render_sweep
             # permutes edit.mean_xyz to match (isotropic gaussian -> same distance).
@@ -289,10 +365,14 @@ def _sweep_composite(
                   + (pys - uni[15]) ** 2)
             wgt = jnp.where(uni[16] > 0,
                             jnp.exp(-d2 / uni[17]), 1.0)[:, None, :]
+            if has_mask:
+                # baked semantic (clip) weight, interpolated like the features
+                wgt = wgt * mask_uv[:, None, :]
             if weight_mode:
                 # visualize the mask instead of recoloring (renderer.py:144-147)
                 w_rgb = (om * wgt).sum(1)
                 return sigma, w_rgb, w_rgb, w_rgb
+
             dh = delta_hsv[None, :, 0, None]
             ds = delta_hsv[None, :, 1, None]
             dv = delta_hsv[None, :, 2, None]
@@ -315,7 +395,8 @@ def _sweep_composite(
                 fr, fg, fb = jax.lax.cond(near_edit, edited, plain, (fr, fg, fb))
             else:
                 fr, fg, fb = _hsv_edit_planar(fr, fg, fb, dh, ds, dv, wgt)
-        return sigma, (om * fr).sum(1), (om * fg).sum(1), (om * fb).sum(1)
+        r, g, b = add_vd((om * fr).sum(1), (om * fg).sum(1), (om * fb).sum(1))
+        return sigma, r, g, b
 
     def do_slice(k_eff, carry):
         T, r_acc, g_acc, b_acc, depth_acc = carry
@@ -335,7 +416,17 @@ def _sweep_composite(
             preferred_element_type=jnp.float32,
         )                                                          # [Ucol, C, Urow]
 
-        sigma, r, g, b = shade(feat, lam, zk)
+        if has_mask:
+            mslc = jax.lax.dynamic_index_in_dim(mask_vol, k_eff, 0, keepdims=False)
+            m1 = jax.lax.dot_general(
+                A, mslc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # [Ucol, Y]
+            mask_uv = jax.lax.dot_general(
+                m1, B, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # [Ucol, Urow]
+        else:
+            mask_uv = None
+        sigma, r, g, b = shade(feat, lam, zk, mask_uv)
         t_k = lam * L
         valid = (t_k > min_near) & (T > t_thresh)
         alpha = jnp.where(valid, 1.0 - jnp.exp(-sigma * delta), 0.0)
@@ -473,19 +564,25 @@ def render_sweep(
     basis_color=None,
     edit: Optional[RegionEdit] = None,
     offsets_weight: float = 1.0,
+    view_dep_weight: float = 1.0,
     bg_color=1.0,
     min_near: float = 0.05,
     t_thresh: float = 1e-2,
     density_scale: float = 1.0,
     skip: str = "block",
     unroll: int = 4,
+    stylizer=None,
+    clip_masks=None,
 ):
     """Render one frame from a SweepVolume. Palette mode iff ``sv.num_basis > 0``
     (then ``basis_color`` [P,3] is required — pass *edited* colors for recoloring).
 
     Matches ``render_baked``'s output surface (image, depth, depth_origin,
-    weights_sum); palette edits (RegionEdit / offsets_weight / basis colors) apply
-    per-sample inside the sweep, with ``render_palette_eval`` semantics.
+    weights_sum); palette edits (RegionEdit / offsets_weight / view_dep_weight /
+    basis colors), Stylizer params, and semantic clip-mask edits apply per-sample
+    inside the sweep, with ``render_palette_eval`` semantics. For a clip-weighted
+    edit pass ``clip_masks = build_clip_masks(baked.clip_feat, mean, std)``
+    (rebuild on mean/std change).
     """
     plan = plan_sweep(np.asarray(pose), intrinsics, H, W, sv.bound, u_res)
     P = sv.num_basis
@@ -495,12 +592,15 @@ def render_sweep(
     else:
         bc = jnp.zeros((1, 3), jnp.float32)
     has_edit = edit is not None
+    has_mask = False
     if edit is None:
         edit = make_region_edit(max(P, 1), clip_dim=1)
     elif bool(np.asarray(edit.use_clip)):
-        raise ValueError(
-            "semantic (clip-feature) edit weights are not baked into SweepVolumes — "
-            "use render_palette_eval for clip-weighted edits")
+        if clip_masks is None:
+            raise ValueError(
+                "clip-weighted sweep edit needs clip_masks="
+                "build_clip_masks(baked.clip_feat, edit.mean_clip, edit.std_clip)")
+        has_mask = True
 
     # pack every per-frame scalar into ONE host-built vector per kernel (a
     # single H2D transfer; separate scalar args cost ~0.8 ms each through the
@@ -514,6 +614,11 @@ def render_sweep(
     uni[13:16] = mean_p
     uni[16] = float(np.asarray(edit.use_xyz))
     uni[17] = float(np.asarray(edit.std_xyz))
+    uni[18] = view_dep_weight
+    w_from_p = np.zeros((3, 3), np.float32)
+    for i, pi in enumerate(plan.perm):
+        w_from_p[pi, i] = 1.0
+    uni[19:28] = w_from_p.reshape(-1)
 
     bg = np.broadcast_to(np.asarray(bg_color, np.float32), (3,))
     uniw = np.empty(_UNIW_LEN, np.float32)
@@ -529,13 +634,27 @@ def render_sweep(
     # programs schedule better on this XLA version
     # static per-slice HSV culling only when the edit is tight enough that a
     # meaningful share of slices will actually skip (the cond is a fusion break)
-    edit_cull = bool(has_edit and np.asarray(edit.use_xyz)
+    edit_cull = bool(has_edit and np.asarray(edit.use_xyz) and not has_mask
                      and 6.9 * float(np.asarray(edit.std_xyz)) < sv.bound ** 2)
+    has_style = stylizer is not None
+    if has_style:
+        sty_dI = jnp.asarray(stylizer.dI, jnp.float32)
+        sty_dP = jnp.asarray(stylizer.dP, jnp.float32).reshape(-1, 3)
+        sty_dd = jnp.asarray(stylizer.ddelta, jnp.float32)
+    else:
+        n_b = max(P, 1)
+        sty_dI = jnp.zeros((n_b,), jnp.float32)
+        sty_dP = jnp.zeros((n_b, 3), jnp.float32)
+        sty_dd = jnp.zeros((n_b, 3, 3), jnp.float32)
+    mask_vol = (clip_masks[plan.axis] if has_mask
+                else jnp.zeros((1, 1, 1), jnp.bfloat16))
     inter = _sweep_composite(
         sv.vols[plan.axis], sv.occ[plan.axis], bc,
         jnp.asarray(edit.delta_hsv, jnp.float32), jnp.asarray(uni),
+        mask_vol, sty_dI, sty_dP, sty_dd,
         num_basis=P, u_res=u_res, t_thresh=float(t_thresh),
         weight_mode=bool(edit.weight_mode), has_edit=has_edit,
         edit_cull=edit_cull, skip=skip, unroll=unroll,
+        vd_bands=sv.vd_bands, has_style=has_style, has_mask=has_mask,
     )
     return _warp_to_screen(inter, jnp.asarray(uniw), h=H, w=W, u_res=u_res)
