@@ -120,10 +120,10 @@ def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=448, n_frames=10):
 def bench_train_steps(n_steps=16, num_rays=4096, samples=64, fast: bool = True):
     """Stage-1 scanned train throughput at the reference's default batch size.
 
-    ``fast=True`` measures the recommended TPU profile (--fp16 --fast_grad:
-    bf16 scatter cotangents + nearest-corner hash backward), validated
-    quality-neutral on the sphere A/B (PSNR 24.42 vs 24.29 exact at epoch 20).
-    ``fast=False`` measures exact f32 gradients.
+    ``fast=True`` measures the recommended TPU profile (-O2: bf16 params,
+    PRNG stochastic-trilerp hash forward, bf16 Pallas tile-scatter backward
+    over a random 8-level subset, hierarchical occupancy march).
+    ``fast=False`` measures exact f32 gradients on the flat march.
     """
     import jax
     import jax.numpy as jnp
@@ -133,7 +133,8 @@ def bench_train_steps(n_steps=16, num_rays=4096, samples=64, fast: bool = True):
     from palettenerf_tpu.ops.occupancy import packbits
     from palettenerf_tpu.render.nerf_renderer import RenderSettings, render_nerf_train
 
-    spec = NeRFSpec.build(bound=1.0, fp16=fast, fast_grad=fast)
+    spec = NeRFSpec.build(bound=1.0, fp16=fast, fast_grad=fast,
+                          stochastic_trilerp=fast, grad_levels=8 if fast else 0)
     params = init_nerf(jax.random.PRNGKey(0), spec)
     G = 128
     r = (2 * (np.arange(G) + 0.5) / G - 1)
@@ -142,7 +143,8 @@ def bench_train_steps(n_steps=16, num_rays=4096, samples=64, fast: bool = True):
     bitfield = packbits(jnp.asarray(occ.reshape(-1).astype(np.uint8)))
     settings = RenderSettings(bound=1.0, cascade=1, grid_size=G, dt_gamma=0.0,
                               max_steps=512, num_samples=samples, t_thresh=1e-4,
-                              min_near=0.2)
+                              min_near=0.2,
+                              march_groups=max(16, samples // 4) if fast else 0)
     tx = optax.adam(1e-2, b1=0.9, b2=0.99, eps=1e-15)
     opt_state = tx.init(params)
 

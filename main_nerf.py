@@ -18,6 +18,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("path", type=str)
     p.add_argument("-O", action="store_true", help="equals --fp16 --cuda_ray --preload")
+    p.add_argument("-O2", action="store_true",
+                   help="-O plus the TPU fast-training profile "
+                        "(--fast_grad --stochastic_trilerp --grad_levels 8)")
     p.add_argument("--test", action="store_true")
     p.add_argument("--workspace", type=str, default="workspace")
     p.add_argument("--seed", type=int, default=0)

@@ -21,6 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("nerf_path", type=str)
     p.add_argument("--config", type=str, required=False, default="")
     p.add_argument("-O", action="store_true")
+    p.add_argument("-O2", action="store_true",
+                   help="-O plus the TPU fast-training profile")
     p.add_argument("--test", action="store_true")
     p.add_argument("--video", action="store_true")
     p.add_argument("--seed", type=int, default=0)

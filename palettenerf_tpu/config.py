@@ -29,6 +29,9 @@ class Config:
 
     # macro flag: -O == --fp16 --cuda_ray --preload (main_nerf.py:72-75)
     O: bool = False
+    # macro flag: -O2 == -O plus the TPU fast-training profile
+    # (--fast_grad --stochastic_trilerp --grad_levels 8)
+    O2: bool = False
 
     test: bool = False
     workspace: str = "workspace"
@@ -169,6 +172,9 @@ class Config:
                     v = tuple(v)
                 kw[k] = v
         cfg = cls(**kw)
-        if cfg.O:
+        if cfg.O2:
+            cfg = cfg.replace(O=True, fast_grad=True, stochastic_trilerp=True,
+                              grad_levels=8 if cfg.grad_levels == 0 else cfg.grad_levels)
+        if cfg.O or cfg.O2:
             cfg = cfg.replace(fp16=True, cuda_ray=True, preload=True)
         return cfg

@@ -173,27 +173,6 @@ def _pair_fold(grad_pair, spec: HashGridSpec):
 # --------------------------------------------------------------------------- lottery
 
 
-def _position_hash_u(frac, extra: float = 0.0):
-    """GLSL-style fallback uniform variate from the fractional coords."""
-    coef = jnp.asarray([12.9898, 78.233, 37.719][: frac.shape[-1]], jnp.float32)
-    s = jnp.sin((frac * coef).sum(-1) + extra) * 43758.5453
-    return s - jnp.floor(s)
-
-
-def _draw(u, w):
-    """Inverse-CDF draw: u [M] uniform, w [M, K] weights (sum 1) -> (corner id [M],
-    remainder [M]). The remainder is the rescaled within-bin position of u — an
-    independent uniform variate, reused for the backward x-corner lottery."""
-    csum = jnp.cumsum(w, axis=-1)
-    c = jnp.minimum((u[:, None] >= csum).sum(-1), w.shape[-1] - 1)
-    prev = jnp.where(c > 0,
-                     jnp.take_along_axis(csum, jnp.maximum(c - 1, 0)[:, None], 1)[:, 0],
-                     0.0)
-    wsel = jnp.take_along_axis(w, c[:, None], 1)[:, 0]
-    rem = jnp.clip((u - prev) / jnp.maximum(wsel, 1e-9), 0.0, 1.0 - 1e-6)
-    return c, rem
-
-
 class EncodeRand(NamedTuple):
     """Per-call randomness for the stochastic paths (all traced arrays).
 
@@ -251,149 +230,130 @@ def _level_constants(spec: HashGridSpec):
             jnp.asarray(strides, jnp.uint32))
 
 
-def _geom_batched(spec: HashGridSpec, consts, x):
-    """x [M, D] -> (pg0 [M, L, D] int32, frac [M, L, D] f32), all levels at once."""
+def _geom_T(spec: HashGridSpec, consts, xT):
+    """xT [D, M] -> per-dim lists (pg0 [D][L, M] int32, frac [D][L, M] f32).
+
+    TRANSPOSED layout: every per-level intermediate is [L, M] with the huge M axis
+    minor (lane dimension). The earlier [M, L, K] formulation put K=8 on lanes,
+    which TPU pads to 128 — a 16x HBM inflation that measured ~70 ms per 262k-sample
+    encode. [L, M] arrays pack perfectly (L=16 sublanes, M lanes)."""
     scales = consts[0]
-    pos = x[:, None, :] * scales[None, :, None] + (0.0 if spec.align_corners else 0.5)
-    pg0 = jnp.floor(pos)
-    return pg0.astype(jnp.int32), pos - pg0
+    shift = 0.0 if spec.align_corners else 0.5
+    pg0, frac = [], []
+    for d in range(spec.input_dim):
+        pos = xT[d][None, :] * scales[:, None] + shift
+        p0 = jnp.floor(pos)
+        pg0.append(p0.astype(jnp.int32))
+        frac.append(pos - p0)
+    return pg0, frac
 
 
-def _corner_index_batched(spec: HashGridSpec, consts, pg):
-    """pg [M, L, D] int32 corner coords -> GLOBAL table indices [M, L] int32.
+def _corner_index_T(spec: HashGridSpec, consts, pg):
+    """pg [D] list of [L, M] int32 corner coords -> GLOBAL table indices [L, M].
     Same construction rules as ops.hashgrid._corner_index, vectorized over L."""
     _, sizes_u, offs_i, is_hash_b, strides_u = consts
     D = spec.input_dim
-    pgu = pg.astype(jnp.uint32)
-    lin = jnp.zeros(pg.shape[:-1], jnp.uint32)
+    pgu = [p.astype(jnp.uint32) for p in pg]
+    lin = jnp.zeros(pgu[0].shape, jnp.uint32)
     for d in range(D):
-        lin = lin + pgu[..., d] * strides_u[None, :, d]
+        lin = lin + pgu[d] * strides_u[:, d][:, None]
     if spec.gridtype == "hash_xadd":
-        mix = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        mix = jnp.zeros(pgu[0].shape, jnp.uint32)
         for d in range(1, D):
-            mix = mix ^ (pgu[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
-        h = pgu[..., 0] + mix
+            mix = mix ^ (pgu[d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        h = pgu[0] + mix
     else:
-        h = jnp.zeros(pg.shape[:-1], jnp.uint32)
+        h = jnp.zeros(pgu[0].shape, jnp.uint32)
         for d in range(D):
-            h = h ^ (pgu[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
-    idx = jnp.where(is_hash_b[None], h, lin) % sizes_u[None]
-    return idx.astype(jnp.int32) + offs_i[None]
+            h = h ^ (pgu[d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+    idx = jnp.where(is_hash_b[:, None], h, lin) % sizes_u[:, None]
+    return idx.astype(jnp.int32) + offs_i[:, None]
 
 
-def _corner_stack(spec: HashGridSpec, consts, pg0, frac, x_pairs: bool):
-    """All corner indices+weights, level-batched.
+def _col_perm(L: int, K: int):
+    """Static permutation mapping [K*L]-major columns to level-major l*K+k order."""
+    return jnp.asarray([k * L + lvl for lvl in range(L) for k in range(K)], jnp.int32)
 
-    x_pairs=False: K = 2^D corners -> (idx [M, L, K], w [M, L, K], None)
-    x_pairs=True:  K = 2^(D-1) x-base corners -> (idx, w_rest [M, L, K], fx [M, L])
+
+def _encode_T(table, spec: HashGridSpec, x, u, stochastic: bool):
+    """Encode a [Mc, D] block, transposed layout; handles both gridtypes.
+
+    Residual formats (unchanged from the pre-transpose implementation, consumed
+    by ``_bwd``): exact non-pair (idx [Mc, L*K], w [Mc, L*K], fx [Mc, 0]);
+    exact pair (idx [Mc, L*P], w [Mc, L*P], fx [Mc, L]); stochastic non-pair
+    (idx [Mc, L], w/fx empty); stochastic pair (idx [Mc, L], w empty,
+    fx [Mc, 2L] = [fx | ux], ux driving the backward x-corner lottery).
+
+    The stochastic corner draw is an in-loop inverse-CDF select (never builds a
+    [*, K] stacked weight array): the LAST corner k with u >= sum_{j<k} w_j wins,
+    identical to the previous cumsum/argmin formulation including the u>=1 clamp.
     """
-    D = spec.input_dim
-    d_lo = 1 if x_pairs else 0
+    C, L, D = spec.level_dim, spec.num_levels, spec.input_dim
+    pairs = spec.gridtype == "hash_xadd"
+    d_lo = 1 if pairs else 0
     K = 2 ** (D - d_lo)
+    Mc = x.shape[0]
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
+    consts = _level_constants(spec)
+    pg0, frac = _geom_T(spec, consts, x.T)
+    src = pair_table(table, spec) if pairs else table
+    fxT = frac[0] if pairs else None                               # [L, M]
+
+    def corner_iw(corner):
+        bits = [0] * d_lo + [(corner >> i) & 1 for i in range(D - d_lo)]
+        w = jnp.ones((L, Mc), jnp.float32)
+        for d in range(d_lo, D):
+            w = w * (frac[d] if bits[d] else 1.0 - frac[d])
+        return _corner_index_T(spec, consts, [pg0[d] + bits[d] for d in range(D)]), w
+
+    def interp_rows(rows):
+        """Gathered rows [L*M, Csrc] -> features [L, M, C] (x-interp for pairs)."""
+        if pairs:
+            rows = rows.reshape(L, Mc, 2 * C)
+            fxe = fxT[..., None].astype(rows.dtype)
+            return rows[..., :C] * (1 - fxe) + rows[..., C:] * fxe
+        return rows.reshape(L, Mc, C)
+
+    if stochastic:
+        if u is None:
+            coef = jnp.asarray([12.9898, 78.233, 37.719][:D], jnp.float32)
+            s = jnp.sin(sum(frac[d][L - 1] * coef[d] for d in range(D))) * 43758.5453
+            uT = jnp.broadcast_to((s - jnp.floor(s))[None, :], (L, Mc))
+        else:
+            uT = u.T
+        csum = jnp.zeros((L, Mc), jnp.float32)
+        chosen = prev = wsel = None
+        for corner in range(K):
+            idx_k, w = corner_iw(corner)
+            if corner == 0:
+                chosen, prev, wsel = idx_k, csum, w
+            else:
+                sel = uT >= csum
+                chosen = jnp.where(sel, idx_k, chosen)
+                prev = jnp.where(sel, csum, prev)
+                wsel = jnp.where(sel, w, wsel)
+            csum = csum + w
+        outT = interp_rows(src[chosen.reshape(-1)])
+        out = jnp.where(oob[:, None], 0, outT.transpose(1, 0, 2).reshape(Mc, L * C))
+        empty = jnp.zeros((Mc, 0), jnp.float32)
+        if pairs:
+            rem = jnp.clip((uT - prev) / jnp.maximum(wsel, 1e-9), 0.0, 1.0 - 1e-6)
+            fx_ux = jnp.concatenate([fxT, rem], axis=0).T          # [Mc, 2L]
+            return out, chosen.T, empty, fx_ux, oob
+        return out, chosen.T, empty, empty, oob
+
+    acc = jnp.zeros((L, Mc, C), table.dtype)
     idxs, ws = [], []
     for corner in range(K):
-        bits = [0] * d_lo + [(corner >> i) & 1 for i in range(D - d_lo)]
-        pg = pg0 + jnp.asarray(bits, jnp.int32)
-        w = jnp.ones(pg0.shape[:-1], jnp.float32)
-        for d in range(d_lo, D):
-            w = w * jnp.where(bits[d], frac[..., d], 1.0 - frac[..., d])
-        idxs.append(_corner_index_batched(spec, consts, pg))
+        idx_k, w = corner_iw(corner)
+        acc = acc + interp_rows(src[idx_k.reshape(-1)]) * w[..., None].astype(table.dtype)
+        idxs.append(idx_k)
         ws.append(w)
-    fx = frac[..., 0] if x_pairs else None
-    return jnp.stack(idxs, -1), jnp.stack(ws, -1), fx
-
-
-def _draw_batched(u, w):
-    """u [M, L]; w [M, L, K] (sum 1 over K) -> (corner [M, L], remainder [M, L])."""
-    csum = jnp.cumsum(w, axis=-1)
-    c = jnp.minimum((u[..., None] >= csum).sum(-1), w.shape[-1] - 1)
-    prev = jnp.where(
-        c > 0,
-        jnp.take_along_axis(csum, jnp.maximum(c - 1, 0)[..., None], -1)[..., 0],
-        0.0)
-    wsel = jnp.take_along_axis(w, c[..., None], -1)[..., 0]
-    rem = jnp.clip((u - prev) / jnp.maximum(wsel, 1e-9), 0.0, 1.0 - 1e-6)
-    return c, rem
-
-
-def _reduce_matrix(L: int, K: int, dtype):
-    """[L*K, L] 0/1 matrix summing K corner slots per level (einsum beats a 4D
-    reshape — small minor dims trigger catastrophic tile padding in TPU layouts)."""
-    reduce = jnp.zeros((L * K, L), dtype)
-    lvl_of = jnp.repeat(jnp.arange(L), K)
-    return reduce.at[jnp.arange(L * K), lvl_of].set(1)
-
-
-def _encode_block(table, spec: HashGridSpec, x, u, stochastic: bool):
-    """Encode a [Mc, D] block with the ALL-CORNER path (gridtype 'hash'/'tiled').
-
-    Exact: out, idx [Mc, L*K], w [Mc, L*K]. Stochastic: idx [Mc, L], w=fx dummy.
-    """
-    C, L, K = spec.level_dim, spec.num_levels, 2 ** spec.input_dim
-    Mc = x.shape[0]
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
-    consts = _level_constants(spec)
-    pg0, frac = _geom_batched(spec, consts, x)
-    idx3, w3, _ = _corner_stack(spec, consts, pg0, frac, x_pairs=False)  # [Mc,L,K]
-    if stochastic:
-        if u is None:
-            u = _position_hash_u(frac[:, -1])[:, None] * jnp.ones((1, L))
-        c, _ = _draw_batched(u, w3)                                # [Mc, L]
-        idx = jnp.take_along_axis(idx3, c[..., None], -1)[..., 0]  # [Mc, L]
-        out = table[idx.reshape(-1)].reshape(Mc, L * C).astype(table.dtype)
-        out = jnp.where(oob[:, None], 0, out)
-        return out, idx, jnp.zeros((Mc, 0), jnp.float32), oob
-    idx = idx3.reshape(Mc, L * K)
-    w = w3.reshape(Mc, L * K)
-    feats = table[idx.reshape(-1)].reshape(Mc, L * K, C)
-    fw = feats * w[..., None].astype(table.dtype)
-    out = jnp.einsum("mkc,kl->mlc", fw, _reduce_matrix(L, K, fw.dtype))
-    out = out.reshape(Mc, L * C)
-    out = jnp.where(oob[:, None], 0, out)
-    return out, idx, w, oob
-
-
-def _encode_block_pair(table, spec: HashGridSpec, x, u, stochastic: bool):
-    """Encode a [Mc, D] block with the x-PAIR path (gridtype 'hash_xadd').
-
-    The gather source is the overlapped pair table [total, 2C]. Exact: one wide
-    gather of L*P rows (P = 2^(D-1)); stochastic: L rows, x-interp exact.
-    Returns (out, idx, w, oob):
-      exact:      idx [Mc, L*P], w [Mc, L*P] rest-weights, plus fx packed as the
-                  LAST column block of w?  -- no: fx returned via w tuple; see below.
-    To keep the residual pytree simple both paths return (idx, w, fx):
-      exact:      idx [Mc, L*P], w [Mc, L*P], fx [Mc, L]
-      stochastic: idx [Mc, L],   w [Mc, 0],   fx [Mc, L]
-    """
-    C, L = spec.level_dim, spec.num_levels
-    P = 2 ** (spec.input_dim - 1)
-    Mc = x.shape[0]
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)
-    ptab = pair_table(table, spec)                                 # [total, 2C]
-    consts = _level_constants(spec)
-    pg0, frac = _geom_batched(spec, consts, x)
-    idx3, w3, fx = _corner_stack(spec, consts, pg0, frac, x_pairs=True)  # [Mc,L,P]
-    if stochastic:
-        if u is None:
-            u = _position_hash_u(frac[:, -1])[:, None] * jnp.ones((1, L))
-        c, rem = _draw_batched(u, w3)
-        idx = jnp.take_along_axis(idx3, c[..., None], -1)[..., 0]  # [Mc, L]
-        rows = ptab[idx.reshape(-1)].reshape(Mc, L, 2 * C)
-        fxe = fx[..., None].astype(rows.dtype)
-        out = (rows[..., :C] * (1 - fxe) + rows[..., C:] * fxe).reshape(Mc, L * C)
-        out = jnp.where(oob[:, None], 0, out)
-        # residual fx carries [fx | ux] — ux drives the backward x-corner lottery
-        fx_ux = jnp.concatenate([fx, rem], axis=-1)                # [Mc, 2L]
-        return out, idx, jnp.zeros((Mc, 0), jnp.float32), fx_ux, oob
-    idx = idx3.reshape(Mc, L * P)
-    w = w3.reshape(Mc, L * P)
-    rows = ptab[idx.reshape(-1)].reshape(Mc, L * P, 2 * C)
-    fxe = jnp.repeat(fx, P, axis=-1)[..., None].astype(rows.dtype)
-    interp = rows[..., :C] * (1 - fxe) + rows[..., C:] * fxe       # [Mc, L*P, C]
-    fw = interp * w[..., None].astype(rows.dtype)
-    out = jnp.einsum("mkc,kl->mlc", fw, _reduce_matrix(L, P, fw.dtype))
-    out = out.reshape(Mc, L * C)
-    out = jnp.where(oob[:, None], 0, out)
+    out = jnp.where(oob[:, None], 0, acc.transpose(1, 0, 2).reshape(Mc, L * C))
+    perm = _col_perm(L, K)
+    idx = jnp.stack(idxs, 0).reshape(K * L, Mc).T[:, perm]
+    w = jnp.stack(ws, 0).reshape(K * L, Mc).T[:, perm]
+    fx = fxT.T if pairs else jnp.zeros((Mc, 0), jnp.float32)
     return out, idx, w, fx, oob
 
 
@@ -409,10 +369,7 @@ def _fwd_impl(table, x01, rand: EncodeRand, spec: HashGridSpec, stochastic: bool
         u = u.reshape(-1, L)
 
     def enc(xc, uc):
-        if pairs:
-            return _encode_block_pair(table, spec, xc, uc, stochastic)
-        out, idx, w, oob = _encode_block(table, spec, xc, uc, stochastic)
-        return out, idx, w, jnp.zeros((xc.shape[0], 0), jnp.float32), oob
+        return _encode_T(table, spec, xc, uc, stochastic)
 
     if M <= _ENCODE_CHUNK:
         out, idx, w, fx, oob = enc(x, u)
@@ -475,11 +432,23 @@ def _fwd(table, x01, rand, spec, scatter_dtype=None, nearest_corner_grad=False,
 
 
 def _scatter_global(idx_flat, upd, total_rows: int, cdtype, out_dtype, width: int):
-    """One batched scatter-add: upd [U, width] (cast to cdtype) at rows idx_flat."""
-    sub = jnp.zeros((total_rows, width), cdtype)
-    _, vjp = jax.vjp(lambda t: t[idx_flat], sub)
-    (grad,) = vjp(upd.astype(cdtype))
-    return grad.astype(out_dtype)
+    """One batched scatter-add: upd [U, width] (cast to cdtype) at rows idx_flat.
+
+    bf16 cotangents route through the sorted Pallas tile kernel
+    (ops/pallas_scatter.py): 140-185M upd/s on chip vs ~23M for XLA's row
+    scatter and ~85M for a flat 1-D scatter. The f32 (exact) path keeps the
+    flat 1-D XLA scatter (the kernel's MXU accumulation is bf16-valued)."""
+    from .pallas_scatter import tile_scatter_add
+
+    if jnp.dtype(cdtype) == jnp.bfloat16 and total_rows <= 256 * 256 * 128:
+        vals = upd.astype(jnp.bfloat16).astype(jnp.float32)
+        grad = tile_scatter_add(idx_flat, vals, total_rows,
+                                interpret=jax.default_backend() != "tpu")
+        return grad.astype(out_dtype)
+    fidx = jnp.concatenate([idx_flat * width + c for c in range(width)])
+    fupd = jnp.concatenate([upd[:, c] for c in range(width)])
+    grad = jnp.zeros((total_rows * width,), cdtype).at[fidx].add(fupd.astype(cdtype))
+    return grad.reshape(total_rows, width).astype(out_dtype)
 
 
 def _select_levels(arrs, lvls, L: int, K: int):
