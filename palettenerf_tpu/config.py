@@ -141,6 +141,8 @@ class Config:
     gridtype: str = "hash"             # hash | tiled | hash_xadd (TPU pair-local hash)
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
+    eval_compact_frac: float = 0.0     # cross-ray valid-sample compaction for eval
+                                       # field evals (0 = off; 0.375 typical)
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)
     n_devices: int = 1                  # DP: shard the ray batch over this many chips
     ema_decay: float = 0.95

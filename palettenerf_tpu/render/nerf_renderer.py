@@ -56,6 +56,12 @@ class RenderSettings:
     # hierarchical 2-phase occupancy march: group slots for the coarse pass
     # (0 = flat per-candidate tests; see ops/march.py build_super_bitfield)
     march_groups: int = 0
+    # cross-ray valid-sample compaction for eval field evals: only march-valid
+    # sample slots reach the network, in a compact buffer of
+    # ceil(frac * N * S) slots (0 = off). Exact — invalid slots contribute
+    # sigma 0 either way; valid samples past the budget are dropped, the same
+    # overflow posture as the reference's sample buffer (raymarching.cu:419).
+    compact_frac: float = 0.0
 
 
 def _sup(bitfield, settings: RenderSettings):
@@ -65,6 +71,42 @@ def _sup(bitfield, settings: RenderSettings):
     if settings.march_groups <= 0 or settings.dt_gamma > 0 or settings.cascade != 1:
         return None
     return build_super_bitfield(bitfield, settings.grid_size, settings.cascade)
+
+
+def forward_compact(forward_fn, valid, budget: int, *sample_args):
+    """Evaluate ``forward_fn`` only on the ``valid`` flat samples.
+
+    The occupancy march leaves most [N, S] sample slots masked on real scenes;
+    the fixed-shape field eval still pays their hash gathers (the dominant
+    frame cost: 128 gathered rows/sample at ~175M rows/s). This compacts the
+    valid slots to the front of a static ``budget``-slot buffer (cumsum +
+    one 1-D scatter of slot ids), runs the field there, and expands results
+    back with one gather. Exact: invalid slots come back 0, and compositing
+    already treats masked slots as sigma 0.
+
+    sample_args: per-sample arrays [M, ...] passed through compaction.
+    forward_fn(*compacted_args) -> tuple of [B, ...] arrays.
+    Returns the tuple expanded to [M, ...] (zeros at invalid/dropped slots).
+    """
+    M = valid.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    in_budget = valid & (pos < budget)
+    src = jnp.zeros((budget,), jnp.int32).at[
+        jnp.where(in_budget, pos, budget)
+    ].set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+    outs = forward_fn(*(a[src] for a in sample_args))
+    posc = jnp.clip(pos, 0, budget - 1)
+    expanded = []
+    for o in outs:
+        e = o[posc]
+        shape = in_budget.shape + (1,) * (e.ndim - 1)
+        expanded.append(jnp.where(in_budget.reshape(shape), e, 0))
+    return tuple(expanded)
+
+
+def _compact_budget(settings: RenderSettings, n_slots: int) -> int:
+    b = int(n_slots * settings.compact_frac + 0.5)
+    return max(128, min(n_slots, (b + 127) // 128 * 128))
 
 
 def _resolve_bg(params, spec: NeRFSpec, rays_o, rays_d, bg_color, settings: RenderSettings):
@@ -281,7 +323,14 @@ def render_nerf_eval_compact(
             t_in = trans[sel]
 
         dirs = jnp.broadcast_to(rd_r[:, None, :], xyz.shape)
-        sig, rgb = nerf_forward(params, spec, xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+        if settings.compact_frac > 0:
+            sig, rgb = forward_compact(
+                lambda x, d: nerf_forward(params, spec, x, d),
+                mask.reshape(-1), _compact_budget(settings, n_r * s_r),
+                xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+        else:
+            sig, rgb = nerf_forward(params, spec, xyz.reshape(-1, 3),
+                                    dirs.reshape(-1, 3))
         sig = sig.reshape(n_r, s_r).astype(jnp.float32) * settings.density_scale
         rgb = rgb.reshape(n_r, s_r, 3).astype(jnp.float32)
 
@@ -350,7 +399,15 @@ def render_nerf_eval(
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
-    sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
+    if settings.compact_frac > 0:
+        n_slots = n * m.xyzs.shape[1]
+        sigmas, rgbs = forward_compact(
+            lambda x, d: nerf_forward(params, spec, x, d),
+            m.mask.reshape(-1), _compact_budget(settings, n_slots),
+            m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
+    else:
+        sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3),
+                                    dirs.reshape(-1, 3))
     sigmas = sigmas.reshape(n, -1) * settings.density_scale
     rgbs = rgbs.reshape(n, -1, 3)
 

@@ -309,9 +309,16 @@ def render_palette_eval(
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape).reshape(-1, 3)
     M = xyzs.shape[0]
 
-    sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
-        params, spec, xyzs, dirs
-    )
+    if settings.compact_frac > 0:
+        from .nerf_renderer import _compact_budget, forward_compact
+
+        sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = forward_compact(
+            lambda x, d: palette_forward(params, spec, x, d),
+            m.mask.reshape(-1), _compact_budget(settings, M), xyzs, dirs)
+    else:
+        sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
+            params, spec, xyzs, dirs
+        )
     sigma = sigma * settings.density_scale
     offsets = offsets_radiance[..., :-1].reshape(M, P, 3)
     radiance = offsets_radiance[..., -1:].reshape(M, 1, 1)

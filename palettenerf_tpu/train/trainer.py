@@ -124,6 +124,7 @@ class Trainer:
             min_near=opt.min_near, bg_radius=spec.bg_radius,
             compaction_rounds=rounds,
             march_groups=self._march_groups(s_inf),
+            compact_frac=getattr(opt, "eval_compact_frac", 0.0),
         )
 
         # optimizer: Adam + per-step 0.1^(t/T) decay (main_nerf.py:141-151)

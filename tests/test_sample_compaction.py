@@ -1,0 +1,80 @@
+"""Cross-ray valid-sample compaction (forward_compact) parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from palettenerf_tpu.models.nerf import NeRFSpec, init_nerf
+from palettenerf_tpu.ops.occupancy import packbits
+from palettenerf_tpu.render.nerf_renderer import (
+    RenderSettings, forward_compact, render_nerf_eval)
+
+
+def _scene():
+    spec = NeRFSpec.build(bound=1.0)
+    params = init_nerf(jax.random.PRNGKey(0), spec)
+    G = 32
+    r = 2 * (np.arange(G) + 0.5) / G - 1
+    X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+    occ = (X ** 2 + Y ** 2 + Z ** 2) < 0.55
+    bitfield = packbits(jnp.asarray(occ.reshape(-1).astype(np.uint8)))
+    key = jax.random.PRNGKey(1)
+    n = 64
+    z = jax.random.normal(key, (n, 3)) * 0.2 + jnp.asarray([0, 0, 1.0])
+    rd = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+    ro = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.5]), (n, 3))
+    return spec, params, bitfield, G, ro, rd
+
+
+def test_forward_compact_expand_parity():
+    key = jax.random.PRNGKey(2)
+    M = 1024
+    xyz = jax.random.normal(key, (M, 3))
+    valid = jax.random.uniform(key, (M,)) < 0.3
+
+    def fn(x):
+        return (x.sum(-1), x * 2.0)
+
+    a, b = forward_compact(fn, valid, 512, xyz)
+    ra, rb = fn(xyz)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(jnp.where(valid, ra, 0)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(jnp.where(valid[:, None], rb, 0)), rtol=1e-6)
+
+
+def test_forward_compact_budget_drop():
+    M = 256
+    valid = jnp.ones((M,), bool)
+    xyz = jnp.arange(M, dtype=jnp.float32)[:, None] * jnp.ones((1, 3))
+    (out,) = forward_compact(lambda x: (x.sum(-1),), valid, 128, xyz)
+    np.testing.assert_allclose(np.asarray(out[:128]),
+                               np.asarray(xyz[:128].sum(-1)))
+    assert float(jnp.abs(out[128:]).max()) == 0.0  # overflow samples dropped
+
+
+def test_eval_compact_matches_plain():
+    spec, params, bitfield, G, ro, rd = _scene()
+    base = dict(bound=1.0, cascade=1, grid_size=G, dt_gamma=0.0,
+                max_steps=128, num_samples=64, t_thresh=1e-4, min_near=0.2)
+    plain = render_nerf_eval(params, spec, bitfield, ro, rd,
+                             RenderSettings(**base))
+    comp = render_nerf_eval(params, spec, bitfield, ro, rd,
+                            RenderSettings(**base, compact_frac=1.0))
+    for k in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(comp[k]), np.asarray(plain[k]),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_eval_compact_rounds_matches_plain():
+    spec, params, bitfield, G, ro, rd = _scene()
+    base = dict(bound=1.0, cascade=1, grid_size=G, dt_gamma=0.0,
+                max_steps=128, num_samples=64, t_thresh=1e-4, min_near=0.2,
+                compaction_rounds=((1, 16), (4, 48)))
+    plain = render_nerf_eval(params, spec, bitfield, ro, rd,
+                             RenderSettings(**base))
+    comp = render_nerf_eval(params, spec, bitfield, ro, rd,
+                            RenderSettings(**base, compact_frac=1.0))
+    for k in ("image", "depth", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(comp[k]), np.asarray(plain[k]),
+                                   rtol=2e-4, atol=2e-5)
