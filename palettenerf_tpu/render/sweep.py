@@ -246,7 +246,7 @@ _UNI_LEN = 28
 
 @partial(jax.jit, static_argnames=(
     "num_basis", "u_res", "t_thresh", "weight_mode", "has_edit", "edit_cull",
-    "skip", "unroll", "vd_bands", "has_style", "has_mask"))
+    "skip", "unroll", "vd_bands", "has_style", "has_mask", "edit_bases"))
 def _sweep_composite(
     vol,            # [Z, X, C, Y] bf16
     occ,            # [Z] bool
@@ -269,6 +269,10 @@ def _sweep_composite(
     vd_bands: int = 0,     # baked view-dep SH bands carried in the channel tail
     has_style: bool = False,
     has_mask: bool = False,
+    edit_bases: Optional[tuple] = None,  # static basis subset to recolor (None=all):
+    # unedited bases' HSV round-trip is the identity, so restricting the ~35-op
+    # chain to the touched bases is exact and cuts the worst-case (global
+    # recolor) edit cost by P/|edited|
 ):
     """Front-to-back sweep over slices; returns intermediate maps
     [U, U, 5] = (rgb, depth_abs, weights_sum), rows = grid-y, cols = grid-x.
@@ -373,9 +377,19 @@ def _sweep_composite(
                 w_rgb = (om * wgt).sum(1)
                 return sigma, w_rgb, w_rgb, w_rgb
 
-            dh = delta_hsv[None, :, 0, None]
-            ds = delta_hsv[None, :, 1, None]
-            dv = delta_hsv[None, :, 2, None]
+            eb = list(edit_bases) if edit_bases is not None else slice(None)
+            dh = delta_hsv[None, eb, 0, None]
+            ds = delta_hsv[None, eb, 1, None]
+            dv = delta_hsv[None, eb, 2, None]
+
+            def recolor(ops):
+                r0, g0, b0 = ops
+                re, ge, be = _hsv_edit_planar(
+                    r0[:, eb, :], g0[:, eb, :], b0[:, eb, :], dh, ds, dv, wgt)
+                if edit_bases is None:
+                    return re, ge, be
+                return (r0.at[:, eb, :].set(re), g0.at[:, eb, :].set(ge),
+                        b0.at[:, eb, :].set(be))
 
             if edit_cull:
                 # per-slice edit culling (STATIC mode, enabled by render_sweep
@@ -384,17 +398,14 @@ def _sweep_composite(
                 # ~35-op HSV chain (worst-case color error 1e-3 ~ 60 dB). The
                 # cond materializes its operands — a fusion break that costs
                 # ~18 ms/frame — so global edits bypass it entirely.
-                def edited(ops):
-                    return _hsv_edit_planar(*ops, dh, ds, dv, wgt)
-
                 def plain(ops):
                     return ops
 
                 slice_d2 = (zk - uni[13]) ** 2
                 near_edit = (uni[16] <= 0) | (slice_d2 <= 6.9 * uni[17])
-                fr, fg, fb = jax.lax.cond(near_edit, edited, plain, (fr, fg, fb))
+                fr, fg, fb = jax.lax.cond(near_edit, recolor, plain, (fr, fg, fb))
             else:
-                fr, fg, fb = _hsv_edit_planar(fr, fg, fb, dh, ds, dv, wgt)
+                fr, fg, fb = recolor((fr, fg, fb))
         r, g, b = add_vd((om * fr).sum(1), (om * fg).sum(1), (om * fb).sum(1))
         return sigma, r, g, b
 
@@ -593,6 +604,19 @@ def render_sweep(
         bc = jnp.zeros((1, 3), jnp.float32)
     has_edit = edit is not None
     has_mask = False
+    edit_bases = None
+    if has_edit and not edit.weight_mode:
+        # static subset of recolored bases (neutral delta = (0, 1, 1) is an HSV
+        # identity); empty set -> drop the edit branch, full set -> None (=all)
+        d = np.asarray(edit.delta_hsv, np.float32)
+        touched = tuple(
+            int(p) for p in range(d.shape[0])
+            if abs((d[p, 0] + 180.0) % 360.0 - 180.0) > 1e-4
+            or abs(d[p, 1] - 1.0) > 1e-4 or abs(d[p, 2] - 1.0) > 1e-4)
+        if not touched:
+            has_edit = False
+        elif len(touched) < d.shape[0]:
+            edit_bases = touched
     if edit is None:
         edit = make_region_edit(max(P, 1), clip_dim=1)
     elif bool(np.asarray(edit.use_clip)):
@@ -656,5 +680,6 @@ def render_sweep(
         weight_mode=bool(edit.weight_mode), has_edit=has_edit,
         edit_cull=edit_cull, skip=skip, unroll=unroll,
         vd_bands=sv.vd_bands, has_style=has_style, has_mask=has_mask,
+        edit_bases=edit_bases,
     )
     return _warp_to_screen(inter, jnp.asarray(uniw), h=H, w=W, u_res=u_res)

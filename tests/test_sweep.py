@@ -266,3 +266,16 @@ def test_sweep_localized_edit_culling():
     # the edit is visible somewhere (the cull didn't silently kill it)
     base = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc)
     assert np.abs(np.asarray(out["image"]) - np.asarray(base["image"])).max() > 5e-3
+
+
+def test_sweep_neutral_edit_is_plain_render():
+    """An edit whose deltas are all (0,1,1) must drop the HSV branch entirely
+    and bit-match the no-edit render (edit_bases static pruning)."""
+    baked = make_palette_baked()
+    sv = build_sweep_volume(baked)
+    pose = look_at_pose((0.0, 0.2, -2.6))
+    bc = np.array([[0.9, 0.2, 0.1], [0.1, 0.8, 0.3], [0.2, 0.3, 0.9], [0.8, 0.8, 0.2]])
+    edit = make_region_edit(P, clip_dim=1)  # neutral deltas, no masks
+    out = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc, edit=edit)
+    base = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc)
+    np.testing.assert_array_equal(np.asarray(out["image"]), np.asarray(base["image"]))
