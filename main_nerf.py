@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hash_xadd: TPU pair-local hash (x-adjacent rows, 2x fewer gathers)")
     p.add_argument("--fast_grad", action="store_true",
                    help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
+    p.add_argument("--eval_compaction", type=int, default=1, choices=[0, 1],
+                   help="alive-ray compaction rounds in eval renders (1=on; "
+                        "0=exact single-pass — use for metric runs)")
     p.add_argument("--eval_compact_frac", type=float, default=0.0,
                    help="eval-only cross-ray valid-sample compaction budget "
                         "(fraction of N*S slots; 0 = off)")

@@ -156,3 +156,37 @@ def test_phase_timer():
         pass
     rep = t.report()
     assert "a" in rep and "x2" in rep and "b" in rep
+
+
+def test_extract_lseg_stub_pipeline(tmp_path):
+    """scripts/extract_lseg_feature.py (stub backend): produces .npy maps the
+    palette provider's lseg_feature ingestion accepts (reference dump tool:
+    third-party/lang-seg/extract_lseg_feature.py:297-433)."""
+    import json
+    import sys
+
+    import cv2
+
+    sys.path.insert(0, "scripts")
+    from extract_lseg_feature import main as lseg_main
+
+    d = tmp_path / "scene"
+    (d / "train").mkdir(parents=True)
+    frames = []
+    for i in range(3):
+        img = np.zeros((40, 40, 3), np.uint8)
+        img[:, : 20 + i * 5] = (255, 30 * i, 0)
+        cv2.imwrite(str(d / "train" / f"f{i}.png"), img)
+        frames.append({"file_path": f"train/f{i}", "transform_matrix": np.eye(4).tolist()})
+    (d / "transforms_train.json").write_text(
+        json.dumps({"camera_angle_x": 0.7, "frames": frames}))
+
+    lseg_main([str(d), "--backend", "stub", "--clip_dim", "4", "--resolution", "32"])
+
+    outs = sorted((d / "lseg_feature").glob("*.npy"))
+    assert len(outs) == 3
+    m = np.load(outs[0])
+    assert m.ndim == 3 and m.shape[-1] == 4 and m.dtype == np.float32
+    # features distinguish the two color regions
+    left, right = m[:, :5].reshape(-1, 4), m[:, -5:].reshape(-1, 4)
+    assert np.linalg.norm(left.mean(0) - right.mean(0)) > 1e-3
