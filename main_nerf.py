@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_compact_frac", type=float, default=0.0,
                    help="eval-only cross-ray valid-sample compaction budget "
                         "(fraction of N*S slots; 0 = off)")
+    p.add_argument("--train_compact_frac", type=float, default=0.0,
+                   help="train-step sample compaction budget (opt-in; overflow "
+                        "drops samples from the gradient)")
     return p
 
 

@@ -143,6 +143,8 @@ class Config:
     t_thresh_infer: float = 1e-2
     eval_compact_frac: float = 0.0     # cross-ray valid-sample compaction for eval
                                        # field evals (0 = off; 0.375 typical)
+    train_compact_frac: float = 0.0    # same for the train step (opt-in: overflow
+                                       # drops samples from the gradient)
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)
     n_devices: int = 1                  # DP: shard the ray batch over this many chips
     ema_decay: float = 0.95

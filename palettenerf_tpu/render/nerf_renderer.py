@@ -153,9 +153,19 @@ def render_nerf_train(
     )
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
-    rand = encode_rand_for(k_enc, spec, n * settings.num_samples)
-    sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3),
-                                dirs.reshape(-1, 3), training=True, rand=rand)
+    n_slots = n * settings.num_samples
+    if settings.compact_frac > 0:
+        budget = _compact_budget(settings, n_slots)
+        rand = encode_rand_for(k_enc, spec, budget)
+        sigmas, rgbs = forward_compact(
+            lambda x, d: nerf_forward(params, spec, x, d, training=True,
+                                      rand=rand),
+            m.mask.reshape(-1), budget,
+            m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
+    else:
+        rand = encode_rand_for(k_enc, spec, n_slots)
+        sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3),
+                                    dirs.reshape(-1, 3), training=True, rand=rand)
     sigmas = sigmas.reshape(n, -1) * settings.density_scale
     rgbs = rgbs.reshape(n, -1, 3)
 

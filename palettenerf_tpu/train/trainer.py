@@ -114,6 +114,7 @@ class Trainer:
             num_samples=opt.train_samples_per_ray, t_thresh=opt.t_thresh_train,
             min_near=opt.min_near, bg_radius=spec.bg_radius,
             march_groups=self._march_groups(opt.train_samples_per_ray),
+            compact_frac=getattr(opt, "train_compact_frac", 0.0),
         )
         s_inf = opt.infer_samples_per_ray
         rounds = self._compaction_rounds(s_inf)

@@ -78,3 +78,31 @@ def test_eval_compact_rounds_matches_plain():
     for k in ("image", "depth", "weights_sum"):
         np.testing.assert_allclose(np.asarray(comp[k]), np.asarray(plain[k]),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_train_compact_grad_parity():
+    """render_nerf_train with compact_frac=1.0 must match the plain path in both
+    value and parameter gradients (exact-trilerp spec so the forward is
+    deterministic regardless of the rand sample count)."""
+    spec, params, bitfield, G, ro, rd = _scene()
+    base = dict(bound=1.0, cascade=1, grid_size=G, dt_gamma=0.0,
+                max_steps=128, num_samples=32, t_thresh=1e-4, min_near=0.2)
+    key = jax.random.PRNGKey(3)
+    gt = jax.random.uniform(key, (ro.shape[0], 3))
+
+    def loss(p, settings):
+        out = render_nerf_train(p, spec, bitfield, ro, rd, key, settings,
+                                bg_color=jnp.ones(3), rays_gt=gt, perturb=True)
+        return ((out["image"] - gt) ** 2).mean() + out["rgb_norm"].mean()
+
+    from palettenerf_tpu.render.nerf_renderer import render_nerf_train  # noqa: F811
+
+    l0, g0 = jax.value_and_grad(loss)(params, RenderSettings(**base))
+    l1, g1 = jax.value_and_grad(loss)(params, RenderSettings(**base,
+                                                             compact_frac=1.0))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for (path, a0), a1 in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   rtol=5e-4, atol=1e-6, err_msg=str(path))
