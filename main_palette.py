@@ -117,6 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hash_xadd: TPU pair-local hash (x-adjacent rows, 2x fewer gathers)")
     p.add_argument("--eval_compaction", type=int, default=1, choices=[0, 1],
                    help="alive-ray compaction rounds in eval renders (0=exact)")
+    p.add_argument("--train_compact_frac", type=float, default=0.0,
+                   help="train-step sample compaction budget (opt-in)")
     p.add_argument("--eval_compact_frac", type=float, default=0.0,
                    help="eval-only cross-ray valid-sample compaction budget "
                         "(fraction of N*S slots; 0 = off)")

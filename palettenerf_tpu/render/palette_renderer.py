@@ -32,6 +32,8 @@ from ..ops.march import march_rays
 from ..ops.rays import near_far_from_aabb, sph_from_ray
 from ..utils.color import hsv_to_rgb, rgb_to_hsv
 from .nerf_renderer import RenderSettings, _sup
+from .nerf_renderer import _compact_budget as _cb
+from .nerf_renderer import forward_compact as _fc
 
 
 # --------------------------------------------------------------------------- edits
@@ -200,49 +202,64 @@ def render_palette_train(
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape).reshape(-1, 3)
     M = xyzs.shape[0]
 
-    rand = encode_rand_for(k_enc, spec, M)
-    sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
-        params, spec, xyzs, dirs, training=True, rand=rand
-    )
-    sigma = jax.lax.stop_gradient(sigma * settings.density_scale)  # renderer.py:334-335
+    compact = settings.compact_frac > 0
+    n_eff = _cb(settings, M) if compact else M
+    rand = encode_rand_for(k_enc, spec, n_eff)
 
-    offsets = offsets_radiance[..., :-1].reshape(M, P, 3)
-    radiance = offsets_radiance[..., -1:].reshape(M, 1, 1)
-    omega_c = omega.reshape(M, P, 1)
-
-    basis_color = jnp.clip(params["basis_color"], 0.0, 1.0)[None]
-    if freeze_basis_color:
-        basis_color = jax.lax.stop_gradient(basis_color)
-
-    final_color = jax.nn.softplus(radiance) * (basis_color + offsets)
-    basis_rgb = omega_c * final_color
-    rgbs = basis_rgb.sum(-2) + jax.lax.stop_gradient(view_dep)  # :349-351
-    direct_rgb = diffuse + view_dep
-
-    # per-sample regularizer channels (:357-359)
-    omega_sparsity = omega.sum(-1, keepdims=True) / ((omega ** 2).sum(-1, keepdims=True) + 1e-6) - 1.0
-    offsets_norm = (offsets ** 2).sum(-1).sum(-1, keepdims=True)
-    view_dep_norm = (view_dep ** 2).sum(-1, keepdims=True)
-
-    if require_smooth_loss:
-        # jittered re-forward with bilateral weight (:360-378)
-        xyzs_diff = jnp.clip(
-            xyzs + jax.random.uniform(k_smooth, xyzs.shape) * b * 0.03, -b, b
+    def sample_fields(x, d, jit_u):
+        """All per-sample work (both forwards + blend + regularizers) for a
+        [B, ...] batch — run in the compact domain when compact_frac > 0."""
+        mb = x.shape[0]
+        sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
+            params, spec, x, d, training=True, rand=rand
         )
-        _, clip_d, omega_d, _, _, diffuse_d = palette_forward(
-            params, spec, xyzs_diff, dirs, training=True, rand=rand)
-        xyz_w = ((xyzs - xyzs_diff) ** 2).sum(-1, keepdims=True) / b ** 2 / spec.smooth_sigma_xyz
-        rgb_w = ((diffuse - diffuse_d) ** 2).sum(-1, keepdims=True) / spec.smooth_sigma_color
-        if spec.pred_clip and spec.smooth_sigma_clip > 0:
-            clip_w = jnp.sqrt(((clip_feat - clip_d) ** 2).sum(-1, keepdims=True) + 1e-12) / spec.smooth_sigma_clip
+        sigma = jax.lax.stop_gradient(sigma * settings.density_scale)  # renderer.py:334-335
+
+        offsets = offsets_radiance[..., :-1].reshape(mb, P, 3)
+        radiance = offsets_radiance[..., -1:].reshape(mb, 1, 1)
+        omega_c = omega.reshape(mb, P, 1)
+
+        basis_color = jnp.clip(params["basis_color"], 0.0, 1.0)[None]
+        if freeze_basis_color:
+            basis_color = jax.lax.stop_gradient(basis_color)
+
+        final_color = jax.nn.softplus(radiance) * (basis_color + offsets)
+        basis_rgb = omega_c * final_color
+        rgbs = basis_rgb.sum(-2) + jax.lax.stop_gradient(view_dep)  # :349-351
+        direct_rgb = diffuse + view_dep
+
+        # per-sample regularizer channels (:357-359)
+        omega_sparsity = omega.sum(-1, keepdims=True) / ((omega ** 2).sum(-1, keepdims=True) + 1e-6) - 1.0
+        offsets_norm = (offsets ** 2).sum(-1).sum(-1, keepdims=True)
+        view_dep_norm = (view_dep ** 2).sum(-1, keepdims=True)
+
+        if require_smooth_loss:
+            # jittered re-forward with bilateral weight (:360-378)
+            xyzs_diff = jnp.clip(x + jit_u * b * 0.03, -b, b)
+            _, clip_d, omega_d, _, _, diffuse_d = palette_forward(
+                params, spec, xyzs_diff, d, training=True, rand=rand)
+            xyz_w = ((x - xyzs_diff) ** 2).sum(-1, keepdims=True) / b ** 2 / spec.smooth_sigma_xyz
+            rgb_w = ((diffuse - diffuse_d) ** 2).sum(-1, keepdims=True) / spec.smooth_sigma_color
+            if spec.pred_clip and spec.smooth_sigma_clip > 0:
+                clip_w = jnp.sqrt(((clip_feat - clip_d) ** 2).sum(-1, keepdims=True) + 1e-12) / spec.smooth_sigma_clip
+            else:
+                clip_w = 0.0
+            smooth_w = jax.lax.stop_gradient(jnp.exp(-xyz_w - rgb_w - clip_w))
+            smooth_norm = ((omega_d - omega) ** 2).sum(-1, keepdims=True) * smooth_w
+            if spec.pred_clip:
+                smooth_norm = smooth_norm + ((clip_d - clip_feat) ** 2).sum(-1, keepdims=True) * smooth_w
         else:
-            clip_w = 0.0
-        smooth_w = jax.lax.stop_gradient(jnp.exp(-xyz_w - rgb_w - clip_w))
-        smooth_norm = ((omega_d - omega) ** 2).sum(-1, keepdims=True) * smooth_w
-        if spec.pred_clip:
-            smooth_norm = smooth_norm + ((clip_d - clip_feat) ** 2).sum(-1, keepdims=True) * smooth_w
+            smooth_norm = jnp.zeros_like(omega_sparsity)
+        return (sigma, rgbs, omega_sparsity, offsets_norm, view_dep_norm,
+                smooth_norm, view_dep, direct_rgb, diffuse, clip_feat, omega)
+
+    jit_u = jax.random.uniform(k_smooth, (M, 3))
+    if compact:
+        outs = _fc(sample_fields, m.mask.reshape(-1), n_eff, xyzs, dirs, jit_u)
     else:
-        smooth_norm = jnp.zeros_like(omega_sparsity)
+        outs = sample_fields(xyzs, dirs, jit_u)
+    (sigma, rgbs, omega_sparsity, offsets_norm, view_dep_norm, smooth_norm,
+     view_dep, direct_rgb, diffuse, clip_feat, omega) = outs
 
     # composite everything with ONE weight pass
     sig = sigma.reshape(n, S)
@@ -310,11 +327,9 @@ def render_palette_eval(
     M = xyzs.shape[0]
 
     if settings.compact_frac > 0:
-        from .nerf_renderer import _compact_budget, forward_compact
-
-        sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = forward_compact(
+        sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = _fc(
             lambda x, d: palette_forward(params, spec, x, d),
-            m.mask.reshape(-1), _compact_budget(settings, M), xyzs, dirs)
+            m.mask.reshape(-1), _cb(settings, M), xyzs, dirs)
     else:
         sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
             params, spec, xyzs, dirs

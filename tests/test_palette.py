@@ -205,3 +205,36 @@ def test_palette_train_gradients_flow(spec, params):
 
     g2 = jax.grad(lambda p: loss(p, False))(params)
     assert float(jnp.abs(g2["basis_color"]).sum()) > 0.0  # released
+
+
+def test_render_palette_train_compact_parity(spec, params):
+    """compact_frac=1.0 train render matches the plain path (values + grads),
+    with the smooth re-forward included."""
+    import dataclasses
+
+    base = RenderSettings(bound=1.0, cascade=1, grid_size=64, dt_gamma=0.0,
+                          max_steps=64, num_samples=16, t_thresh=1e-4,
+                          min_near=0.05)
+    n = 32
+    rng = np.random.default_rng(8)
+    rays_o = jnp.asarray(np.tile(np.array([[0, 0, -1.5]], np.float32), (n, 1)))
+    rd = rng.normal(size=(n, 3)) * 0.05 + [0, 0, 1]
+    rd = jnp.asarray((rd / np.linalg.norm(rd, axis=-1, keepdims=True)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+
+    def loss(p, settings):
+        out = render_palette_train(p, spec, _full_bitfield(), rays_o, rd,
+                                   jax.random.PRNGKey(1), settings,
+                                   freeze_basis_color=False,
+                                   require_smooth_loss=True)
+        return (((out["image"] - gt) ** 2).mean() + out["smooth_norm"].mean()
+                + out["omega_sparsity"].mean() + out["offsets_norm"].mean())
+
+    l0, g0 = jax.value_and_grad(loss)(params, base)
+    l1, g1 = jax.value_and_grad(loss)(
+        params, dataclasses.replace(base, compact_frac=1.0))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for (path, a0), a1 in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   rtol=5e-4, atol=1e-6, err_msg=str(path))
