@@ -326,32 +326,41 @@ def render_palette_eval(
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape).reshape(-1, 3)
     M = xyzs.shape[0]
 
-    if settings.compact_frac > 0:
-        sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = _fc(
-            lambda x, d: palette_forward(params, spec, x, d),
-            m.mask.reshape(-1), _cb(settings, M), xyzs, dirs)
-    else:
+    def sample_fields(x, d):
+        """Per-sample field eval + blend + edit hooks for a [B, ...] batch —
+        runs in the compact valid-sample domain when compact_frac > 0."""
+        mb = x.shape[0]
         sigma, clip_feat, omega, offsets_radiance, view_dep, diffuse = palette_forward(
-            params, spec, xyzs, dirs
+            params, spec, x, d
         )
-    sigma = sigma * settings.density_scale
-    offsets = offsets_radiance[..., :-1].reshape(M, P, 3)
-    radiance = offsets_radiance[..., -1:].reshape(M, 1, 1)
-    omega_c = omega.reshape(M, P, 1)
-    basis_color = jnp.clip(params["basis_color"], 0.0, 1.0)[None]
+        sigma = sigma * settings.density_scale
+        offsets = offsets_radiance[..., :-1].reshape(mb, P, 3)
+        radiance = offsets_radiance[..., -1:].reshape(mb, 1, 1)
+        omega_c = omega.reshape(mb, P, 1)
+        basis_color = jnp.clip(params["basis_color"], 0.0, 1.0)[None]
 
-    if stylizer is not None:
-        rgbs = apply_stylizer(stylizer, radiance, omega_c, basis_color, offsets, view_dep)
-        basis_rgb = omega_c * jnp.clip(
-            jax.nn.softplus(radiance) * (basis_color + offsets), 0.0, 1.0)
-        unscaled = basis_color + offsets
+        if stylizer is not None:
+            rgbs = apply_stylizer(stylizer, radiance, omega_c, basis_color,
+                                  offsets, view_dep)
+            basis_rgb = omega_c * jnp.clip(
+                jax.nn.softplus(radiance) * (basis_color + offsets), 0.0, 1.0)
+            unscaled = basis_color + offsets
+        else:
+            final_color = jax.nn.softplus(radiance) * (basis_color + offsets_weight * offsets)
+            unscaled = basis_color + offsets
+            if edit is not None:
+                final_color = apply_region_edit(edit, final_color, x, clip_feat)
+            basis_rgb = omega_c * final_color
+            rgbs = basis_rgb.sum(-2) + view_dep_weight * view_dep  # :494
+        return (sigma, rgbs, clip_feat, view_dep, diffuse,
+                omega, basis_rgb.reshape(mb, P * 3),
+                jnp.broadcast_to(unscaled, (mb, P, 3)).reshape(mb, P * 3))
+
+    if settings.compact_frac > 0:
+        outs = _fc(sample_fields, m.mask.reshape(-1), _cb(settings, M), xyzs, dirs)
     else:
-        final_color = jax.nn.softplus(radiance) * (basis_color + offsets_weight * offsets)
-        unscaled = basis_color + offsets
-        if edit is not None:
-            final_color = apply_region_edit(edit, final_color, xyzs, clip_feat)
-        basis_rgb = omega_c * final_color
-        rgbs = basis_rgb.sum(-2) + view_dep_weight * view_dep  # :494
+        outs = sample_fields(xyzs, dirs)
+    sigma, rgbs, clip_feat, view_dep, diffuse, omega, basis_rgb, unscaled = outs
 
     sig = sigma.reshape(n, S)
     w, ws, _ = composite_weights(sig, m.dts, m.mask, settings.t_thresh)
@@ -369,8 +378,7 @@ def render_palette_eval(
     if not gui_mode:
         direct_rgb = diffuse + view_dep
         aux = jnp.concatenate([
-            direct_rgb, view_dep, omega,
-            basis_rgb.reshape(M, P * 3), unscaled.reshape(M, P * 3),
+            direct_rgb, view_dep, omega, basis_rgb, unscaled,
         ], -1).reshape(n, S, -1)
         aux_map = composite_channels(w, aux)
         out["direct_rgb"] = aux_map[:, 0:3] + (1.0 - ws)[:, None] * bg

@@ -238,3 +238,31 @@ def test_render_palette_train_compact_parity(spec, params):
                               jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
                                    rtol=5e-4, atol=1e-6, err_msg=str(path))
+
+
+def test_render_palette_eval_compact_parity(spec, params):
+    """Eval render with compact_frac=1.0 (full budget) matches the plain path,
+    including the per-basis aux maps and an active RegionEdit."""
+    import dataclasses
+
+    base = RenderSettings(bound=1.0, cascade=1, grid_size=64, dt_gamma=0.0,
+                          max_steps=64, num_samples=16, t_thresh=1e-2,
+                          min_near=0.05)
+    n = 32
+    rng = np.random.default_rng(9)
+    rays_o = jnp.asarray(np.tile(np.array([[0, 0, -1.5]], np.float32), (n, 1)))
+    rd = rng.normal(size=(n, 3)) * 0.05 + [0, 0, 1]
+    rd = jnp.asarray((rd / np.linalg.norm(rd, axis=-1, keepdims=True)).astype(np.float32))
+    edit = make_region_edit(spec.num_basis, clip_dim=spec.clip_dim,
+                            mean_xyz=(0.1, 0.0, 0.0), std_xyz=0.4)
+    edit = edit._replace(delta_hsv=np.asarray(
+        [[90.0, 1.0, 1.0]] + [[0.0, 1.0, 1.0]] * (spec.num_basis - 1), np.float32))
+
+    a = render_palette_eval(params, spec, _full_bitfield(), rays_o, rd, base,
+                            edit=edit)
+    b = render_palette_eval(params, spec, _full_bitfield(), rays_o, rd,
+                            dataclasses.replace(base, compact_frac=1.0),
+                            edit=edit)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
