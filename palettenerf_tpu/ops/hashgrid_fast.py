@@ -5,10 +5,15 @@ with gridencoder/grid.py:92-133 and gridencoder.cu:36-72), but structured around
 measured cost model of XLA's TPU gather/scatter lowering (v5e, verified with forced
 host syncs):
 
-- gather cost   ~ O(rows fetched), ~183M rows/s, width-independent up to 16 f32/row
-- scatter cost  ~ O(updates), bf16 ~59M upd/s, f32 ~24M upd/s; ONE big scatter beats
-                many small ones (4.2M updates: 71 ms batched vs 131 ms as 16 per-level
-                scatters), and cost does not grow with table size above 2^17 rows
+- gather cost   ~ O(rows fetched), ~175M rows/s, width-independent up to 16 f32/row
+- scatter cost  ~ O(updates): XLA row scatter ([T,2] updates) ~23M upd/s; a FLAT
+                1-D scatter ~85M upd/s; the sorted Pallas tile kernel
+                (ops/pallas_scatter.py) 140-185M upd/s — the bf16 backward routes
+                through it. ONE big scatter still beats many small ones, and cost
+                does not grow with table size above 2^17 rows
+- layout: any array whose minor dim is small (K=8 corners, C=2 features, L=16
+  levels) gets lane-padded to 128 on TPU — intermediates must keep the huge M
+  axis minor (the transposed [L, M] formulation below)
 
 Consequences baked into this implementation:
 

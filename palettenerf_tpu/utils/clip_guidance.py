@@ -14,14 +14,21 @@ import numpy as np
 
 
 class CLIPLoss:
-    def __init__(self, model_name: str = "openai/clip-vit-base-patch32"):
+    def __init__(self, model_name: str = "openai/clip-vit-base-patch32",
+                 model=None, processor=None):
+        """``model``/``processor`` injection bypasses from_pretrained — used by
+        tests (stub model) and by callers with an already-loaded CLIP."""
         try:
             import torch
-            from transformers import CLIPModel, CLIPProcessor
 
             self._torch = torch
-            self.model = CLIPModel.from_pretrained(model_name).eval()
-            self.processor = CLIPProcessor.from_pretrained(model_name)
+            if model is not None and processor is not None:
+                self.model, self.processor = model, processor
+            else:
+                from transformers import CLIPModel, CLIPProcessor
+
+                self.model = CLIPModel.from_pretrained(model_name).eval()
+                self.processor = CLIPProcessor.from_pretrained(model_name)
         except Exception as e:  # pragma: no cover - requires downloaded weights
             raise ImportError(
                 "CLIP guidance needs a local CLIP model (transformers CLIPModel); "

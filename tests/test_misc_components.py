@@ -190,3 +190,38 @@ def test_extract_lseg_stub_pipeline(tmp_path):
     # features distinguish the two color regions
     left, right = m[:, :5].reshape(-1, 4), m[:, -5:].reshape(-1, 4)
     assert np.linalg.norm(left.mean(0) - right.mean(0)) > 1e-3
+
+
+def test_clip_guidance_with_stub_model():
+    """CLIPLoss end-to-end via injected stub model/processor (the reference's
+    vestigial nerf/clip_utils.py CLIPLoss; real weights absent in this image)."""
+    import torch
+
+    from palettenerf_tpu.utils.clip_guidance import CLIPLoss
+
+    D = 8
+
+    class StubProc:
+        def __call__(self, text=None, images=None, return_tensors="pt",
+                     padding=True):
+            if text is not None:
+                return {"input_ids": torch.tensor([[len(t)] for t in text],
+                                                  dtype=torch.float32)}
+            arr = np.stack([np.asarray(im, np.float32).mean((0, 1)) for im in images])
+            return {"pixel_values": torch.tensor(arr)}
+
+    class StubModel:
+        def get_text_features(self, input_ids):
+            return input_ids.repeat(1, D) + torch.arange(D)[None]
+
+        def get_image_features(self, pixel_values):
+            return pixel_values.repeat(1, 3)[:, :D] + 1.0
+
+    loss = CLIPLoss(model=StubModel(), processor=StubProc())
+    loss.prepare_text(["a red chair", "a blue vase"])
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 16, 16, 3))
+    v = loss(imgs)
+    assert np.isfinite(v)
+    # moving images toward larger pixel values changes the similarity
+    v2 = loss(np.clip(imgs + 0.4, 0, 1))
+    assert v != v2
