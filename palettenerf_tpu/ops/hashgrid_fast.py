@@ -122,30 +122,6 @@ def _all_indices(spec: HashGridSpec, x01):
     return jnp.concatenate(idxs, -1), jnp.concatenate(ws, -1)
 
 
-def _level_pair_indices(spec: HashGridSpec, lvl: int, x):
-    """x-pair base indices for ``hash_xadd``: the 2^(D-1) corners with x-bit 0.
-
-    Returns (base_idx [M, P] global int32, w_rest [M, P] f32 weights over the non-x
-    dims, fx [M] f32 x-fraction). P = 2^(D-1). The full corner weights are
-    w_rest * (1-fx) for the base row's first C features and w_rest * fx for its
-    second C features (the x+1 corner lives in the same overlapped-pair row).
-    """
-    D = spec.input_dim
-    P = 2 ** (D - 1)
-    pg0, frac = _level_frac(spec, lvl, x)
-    fx = frac[..., 0]
-    idxs, ws = [], []
-    for j in range(P):
-        bits = [(j >> (d - 1)) & 1 for d in range(1, D)]
-        pg = pg0 + jnp.array([0] + bits, jnp.int32)
-        w = jnp.ones(x.shape[:-1], jnp.float32)
-        for d in range(1, D):
-            w = w * jnp.where(bits[d - 1], frac[..., d], 1.0 - frac[..., d])
-        idxs.append(_corner_global_index(spec, lvl, pg))
-        ws.append(w)
-    return jnp.stack(idxs, -1), jnp.stack(ws, -1), fx
-
-
 # ---------------------------------------------------------------- pair (overlap) table
 
 
@@ -160,18 +136,6 @@ def pair_table(table, spec: HashGridSpec):
         seg = jax.lax.dynamic_slice_in_dim(
             table, spec.offsets[lvl], spec.offsets[lvl + 1] - spec.offsets[lvl], axis=0)
         parts.append(jnp.concatenate([seg, jnp.roll(seg, -1, axis=0)], axis=1))
-    return jnp.concatenate(parts, axis=0)
-
-
-def _pair_fold(grad_pair, spec: HashGridSpec):
-    """Adjoint of ``pair_table``: [total, 2C] cotangent -> [total, C]."""
-    C = spec.level_dim
-    parts = []
-    for lvl in range(spec.num_levels):
-        seg = jax.lax.dynamic_slice_in_dim(
-            grad_pair, spec.offsets[lvl], spec.offsets[lvl + 1] - spec.offsets[lvl],
-            axis=0)
-        parts.append(seg[:, :C] + jnp.roll(seg[:, C:], 1, axis=0))
     return jnp.concatenate(parts, axis=0)
 
 
