@@ -193,6 +193,28 @@ _T0 = time.perf_counter()
 def main():
     result = {"metric": "palette_edit_render_800x800", "value": 0.0, "unit": "fps",
               "vs_baseline": 0.0}
+
+    # The tunneled TPU backend can wedge (device init hangs in make_c_api_client,
+    # observed multi-hour outages). Emit an explicit error line instead of
+    # hanging until the driver's timeout.
+    import os
+    import threading
+
+    devices_up = threading.Event()
+
+    def _watchdog():
+        if not devices_up.wait(600):
+            print(json.dumps(dict(result, error="TPU device init timed out "
+                                                "(tunnel down)")), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    n_dev = len(jax.devices())
+    devices_up.set()
+    _log(f"devices up: {n_dev}")
+
     sv = make_sweep_volume()
     _log("palette volume baked")
     fps = bench_palette_edit(sv)
