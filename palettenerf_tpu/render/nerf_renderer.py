@@ -425,7 +425,8 @@ def render_nerf_eval(
         from ..ops.pallas_composite import composite_rays_pallas
 
         ws, depth, image = composite_rays_pallas(
-            sigmas, rgbs, m.dts, m.t_cum, m.mask, t_thresh=settings.t_thresh)
+            sigmas, rgbs, m.dts, m.t_cum, m.mask, t_thresh=settings.t_thresh,
+            interpret=jax.default_backend() != "tpu")
     else:
         ws, depth, image = composite_rays(sigmas, rgbs, m.dts, m.t_cum, m.mask, settings.t_thresh)
     image = image + (1.0 - ws)[:, None] * bg

@@ -126,6 +126,7 @@ class Trainer:
             compaction_rounds=rounds,
             march_groups=self._march_groups(s_inf),
             compact_frac=getattr(opt, "eval_compact_frac", 0.0),
+            use_pallas_composite=getattr(opt, "use_pallas_composite", False),
         )
 
         # optimizer: Adam + per-step 0.1^(t/T) decay (main_nerf.py:141-151)
