@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train-only single-corner Monte-Carlo hash interpolation "
                         "(8x fewer gathers; unbiased estimator, eval stays exact)")
     p.add_argument("--march_groups", type=int, default=-1,
-                   help="hierarchical-march group slots (-1 auto, 0 flat tests)")
+                   help="hierarchical-march group slots (-1 auto: train-only, eval stays flat/exact; 0 forces flat parity everywhere; >0 enables hierarchical on both paths)")
     p.add_argument("--grad_levels", type=int, default=0,
                    help="hash backward: scatter a random subset of K levels per step (0=all)")
     p.add_argument("--gridtype", type=str, default="hash",

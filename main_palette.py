@@ -109,7 +109,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic_trilerp", action="store_true",
                    help="train-only MC corner draw in the hash encode (unbiased, 4-8x fewer gathers)")
     p.add_argument("--march_groups", type=int, default=-1,
-                   help="hierarchical-march group slots (-1 auto, 0 flat tests)")
+                   help="hierarchical-march group slots (-1 auto: train-only, eval stays flat/exact; 0 forces flat parity everywhere; >0 enables hierarchical on both paths)")
     p.add_argument("--grad_levels", type=int, default=0,
                    help="hash backward: scatter a random subset of K levels per step (0=all)")
     p.add_argument("--gridtype", type=str, default="hash",

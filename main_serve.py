@@ -112,19 +112,10 @@ def main():
     # and unmasked fog both speckles the background and defeats slice skipping
     gs = payload.get("grid_state")
     if gs is not None and gs.get("bitfield") is not None:
-        bf = np.asarray(gs["bitfield"])
-        # cascade 0 covers |x| < bound; grid side from the density grid shape
-        G = round(np.asarray(gs["density_grid"]).shape[-1] ** (1 / 3) + 1e-6)
-        occ = np.unpackbits(bf, bitorder="little")[: G ** 3].reshape(G, G, G)
-        R = args.resolution
-        # map baked voxel centers to occupancy cells (works for any R vs G,
-        # not just exact multiples)
-        cell = np.minimum((np.arange(R) + 0.5) * G // R, G - 1).astype(np.int64)
-        occ_up = occ.astype(bool)[np.ix_(cell, cell, cell)]
-        baked = baked._replace(
-            density=baked.density * jnp.asarray(occ_up, jnp.float32))
-        print(f"[serve] bitfield-masked bake ({occ.mean():.1%} cells occupied)",
-              flush=True)
+        from palettenerf_tpu.render.baking import mask_with_bitfield
+
+        baked = mask_with_bitfield(baked, gs)
+        print("[serve] bitfield-masked bake", flush=True)
 
     sv = build_sweep_volume(baked, sigma_thresh=1e-3)
     print(f"[serve] baked in {time.perf_counter() - t0:.1f}s", flush=True)

@@ -137,7 +137,7 @@ class Config:
     fast_grad: bool = False            # nearest-corner hash backward (8x fewer scatter updates)
     stochastic_trilerp: bool = False   # train-only 1-corner MC hash forward (8x fewer gathers)
     grad_levels: int = 0               # hash backward: random level subset per step (0 = all)
-    march_groups: int = -1             # hierarchical march group slots (-1 auto, 0 flat)
+    march_groups: int = -1             # march group slots (-1 auto: train-only; 0 flat everywhere)
     gridtype: str = "hash"             # hash | tiled | hash_xadd (TPU pair-local hash)
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2

@@ -285,9 +285,15 @@ def _encode_T(table, spec: HashGridSpec, x, u, stochastic: bool):
 
     if stochastic:
         if u is None:
+            # position-hash fallback: seed from the FINEST level's frac (highest
+            # spatial frequency, least position correlation) but mix the level
+            # index in so corner draws stay independent across levels (a shared
+            # broadcast variate would perfectly correlate the joint-level draw)
             coef = jnp.asarray([12.9898, 78.233, 37.719][:D], jnp.float32)
-            s = jnp.sin(sum(frac[d][L - 1] * coef[d] for d in range(D))) * 43758.5453
-            uT = jnp.broadcast_to((s - jnp.floor(s))[None, :], (L, Mc))
+            base = sum(frac[d][L - 1] * coef[d] for d in range(D))
+            lvl = jnp.arange(L, dtype=jnp.float32)[:, None]
+            s = jnp.sin(base[None, :] + lvl * 1.6180339887) * 43758.5453
+            uT = s - jnp.floor(s)
         else:
             uT = u.T
         csum = jnp.zeros((L, Mc), jnp.float32)

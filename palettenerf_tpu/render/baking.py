@@ -191,6 +191,30 @@ def bake_palette(params, spec, resolution: int = 256, chunk: int = 131072,
                                   if want_clip else None))
 
 
+def mask_with_bitfield(baked: BakedVolume, grid_state: Dict) -> BakedVolume:
+    """Zero baked density in occupancy cells the trained marcher never sampled.
+
+    The field is unconstrained fog in never-sampled cells; unmasked fog both
+    speckles the background and defeats the sweep renderer's slice skipping.
+    Baked voxel centers lie ON ``linspace(-b, b, R)`` (normalized i/(R-1), not
+    (i+0.5)/R cell centers), so the cell map uses i/(R-1); the occupancy is
+    dilated one cell so a boundary voxel whose center lands exactly on a cell
+    edge never loses real surface density. ``grid_state`` is the checkpoint's
+    grid-state dict (bitfield + density_grid); cascade 0 covers |x| < bound.
+    """
+    bf = np.asarray(grid_state["bitfield"])
+    G = round(np.asarray(grid_state["density_grid"]).shape[-1] ** (1 / 3) + 1e-6)
+    occ = np.unpackbits(bf, bitorder="little")[: G ** 3].reshape(G, G, G)
+    R = baked.resolution
+    cell = np.minimum(np.arange(R) * G // max(R - 1, 1), G - 1).astype(np.int64)
+    from scipy.ndimage import binary_dilation
+
+    dil = binary_dilation(occ.astype(bool), np.ones((3, 3, 3), bool))
+    occ_up = dil[np.ix_(cell, cell, cell)]
+    return baked._replace(
+        density=baked.density * jnp.asarray(occ_up, jnp.float32))
+
+
 def _trilinear(vol, x01):
     """vol [R, R, R, C?]; x01 [N, 3] in [0,1] -> [N, C?] trilinear samples."""
     R = vol.shape[0]

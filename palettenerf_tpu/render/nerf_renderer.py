@@ -65,10 +65,14 @@ class RenderSettings:
 
 
 def _sup(bitfield, settings: RenderSettings):
-    """Dilated supercell mip for the hierarchical march (None when disabled).
-    Derived from the bitfield inside jit — loop-invariant, so XLA hoists it out
-    of scanned train steps."""
-    if settings.march_groups <= 0 or settings.dt_gamma > 0 or settings.cascade != 1:
+    """Dilated global supercell mip for the hierarchical march (None when
+    disabled or statically unsound — see ops.march.super_bitfield_ok). Derived
+    from the bitfield inside jit — loop-invariant, so XLA hoists it out of
+    scanned train steps."""
+    from ..ops.march import super_bitfield_ok
+
+    if settings.march_groups <= 0 or not super_bitfield_ok(
+            settings.bound, settings.grid_size, settings.cascade):
         return None
     return build_super_bitfield(bitfield, settings.grid_size, settings.cascade)
 
@@ -107,6 +111,16 @@ def forward_compact(forward_fn, valid, budget: int, *sample_args):
 def _compact_budget(settings: RenderSettings, n_slots: int) -> int:
     b = int(n_slots * settings.compact_frac + 0.5)
     return max(128, min(n_slots, (b + 127) // 128 * 128))
+
+
+def compact_overflow(valid, budget: int):
+    """March-valid samples dropped by an undersized compact budget, shape [1].
+
+    The reference sizes its sample buffer to the ray budget and drops overflow
+    rays silently (raymarching.cu:419); here the drop is per-sample and this
+    count makes an undersized ``--eval/train_compact_frac`` detectable instead
+    of silently darkening renders (advisor round-3 finding)."""
+    return jnp.maximum(valid.sum(dtype=jnp.int32) - budget, 0)[None]
 
 
 def _resolve_bg(params, spec: NeRFSpec, rays_o, rays_d, bg_color, settings: RenderSettings):
@@ -154,8 +168,10 @@ def render_nerf_train(
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
     n_slots = n * settings.num_samples
+    overflow = None
     if settings.compact_frac > 0:
         budget = _compact_budget(settings, n_slots)
+        overflow = compact_overflow(m.mask.reshape(-1), budget)
         rand = encode_rand_for(k_enc, spec, budget)
         sigmas, rgbs = forward_compact(
             lambda x, d: nerf_forward(params, spec, x, d, training=True,
@@ -183,12 +199,15 @@ def render_nerf_train(
 
     image = image + (1.0 - ws)[:, None] * bg
     depth_out = jnp.clip(depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
-    return {
+    out = {
         "image": image,
         "depth": depth_out,
         "weights_sum": ws,
         "rgb_norm": rgb_norm,
     }
+    if overflow is not None:
+        out["compact_overflow"] = overflow
+    return out
 
 
 def render_nerf_uniform(
@@ -309,6 +328,7 @@ def render_nerf_eval_compact(
     depth = jnp.zeros((n,), jnp.float32)
     ws = jnp.zeros((n,), jnp.float32)
     trans = jnp.ones((n,), jnp.float32)  # remaining transmittance per ray
+    overflow = jnp.zeros((1,), jnp.int32)
 
     offset = 0
     for divisor, s_r in rounds:
@@ -334,9 +354,11 @@ def render_nerf_eval_compact(
 
         dirs = jnp.broadcast_to(rd_r[:, None, :], xyz.shape)
         if settings.compact_frac > 0:
+            budget = _compact_budget(settings, n_r * s_r)
+            overflow = overflow + compact_overflow(mask.reshape(-1), budget)
             sig, rgb = forward_compact(
                 lambda x, d: nerf_forward(params, spec, x, d),
-                mask.reshape(-1), _compact_budget(settings, n_r * s_r),
+                mask.reshape(-1), budget,
                 xyz.reshape(-1, 3), dirs.reshape(-1, 3))
         else:
             sig, rgb = nerf_forward(params, spec, xyz.reshape(-1, 3),
@@ -370,12 +392,15 @@ def render_nerf_eval_compact(
     image = image + (1.0 - ws)[:, None] * bg
     depth_abs = depth + ws * nears
     depth_out = jnp.clip(depth_abs - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
-    return {
+    out = {
         "image": image,
         "depth": depth_out,
         "depth_origin": depth_abs,
         "weights_sum": ws,
     }
+    if settings.compact_frac > 0:
+        out["compact_overflow"] = overflow
+    return out
 
 
 def render_nerf_eval(
@@ -409,11 +434,14 @@ def render_nerf_eval(
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
     )
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
+    overflow = None
     if settings.compact_frac > 0:
         n_slots = n * m.xyzs.shape[1]
+        budget = _compact_budget(settings, n_slots)
+        overflow = compact_overflow(m.mask.reshape(-1), budget)
         sigmas, rgbs = forward_compact(
             lambda x, d: nerf_forward(params, spec, x, d),
-            m.mask.reshape(-1), _compact_budget(settings, n_slots),
+            m.mask.reshape(-1), budget,
             m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
     else:
         sigmas, rgbs = nerf_forward(params, spec, m.xyzs.reshape(-1, 3),
@@ -434,9 +462,12 @@ def render_nerf_eval(
     # raymarching.cu:1078-1079); t_cum is relative to t0 ~= nears
     depth_abs = depth + ws * nears
     depth_out = jnp.clip(depth_abs - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6)
-    return {
+    out = {
         "image": image,
         "depth": depth_out,
         "depth_origin": depth_abs,
         "weights_sum": ws,
     }
+    if overflow is not None:
+        out["compact_overflow"] = overflow
+    return out

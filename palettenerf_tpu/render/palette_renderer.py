@@ -33,6 +33,7 @@ from ..ops.rays import near_far_from_aabb, sph_from_ray
 from ..utils.color import hsv_to_rgb, rgb_to_hsv
 from .nerf_renderer import RenderSettings, _sup
 from .nerf_renderer import _compact_budget as _cb
+from .nerf_renderer import compact_overflow as _co
 from .nerf_renderer import forward_compact as _fc
 
 
@@ -254,7 +255,9 @@ def render_palette_train(
                 smooth_norm, view_dep, direct_rgb, diffuse, clip_feat, omega)
 
     jit_u = jax.random.uniform(k_smooth, (M, 3))
+    overflow = None
     if compact:
+        overflow = _co(m.mask.reshape(-1), n_eff)
         outs = _fc(sample_fields, m.mask.reshape(-1), n_eff, xyzs, dirs, jit_u)
     else:
         outs = sample_fields(xyzs, dirs, jit_u)
@@ -276,7 +279,7 @@ def render_palette_train(
     c0 = 4
     image = image + (1.0 - ws)[:, None] * bg
     direct_rgb_map = aux_map[:, c0 + 3:c0 + 6] + (1.0 - ws)[:, None] * bg
-    return {
+    out = {
         "image": image,
         "depth": jnp.clip(depth - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-6),
         "weights_sum": ws,
@@ -290,6 +293,9 @@ def render_palette_train(
         "clip_feat": aux_map[:, c0 + 9:c0 + 9 + spec.clip_dim],
         "basis_acc": aux_map[:, c0 + 9 + spec.clip_dim:c0 + 9 + spec.clip_dim + P],
     }
+    if overflow is not None:
+        out["compact_overflow"] = overflow
+    return out
 
 
 def render_palette_eval(
@@ -356,8 +362,11 @@ def render_palette_eval(
                 omega, basis_rgb.reshape(mb, P * 3),
                 jnp.broadcast_to(unscaled, (mb, P, 3)).reshape(mb, P * 3))
 
+    overflow = None
     if settings.compact_frac > 0:
-        outs = _fc(sample_fields, m.mask.reshape(-1), _cb(settings, M), xyzs, dirs)
+        budget = _cb(settings, M)
+        overflow = _co(m.mask.reshape(-1), budget)
+        outs = _fc(sample_fields, m.mask.reshape(-1), budget, xyzs, dirs)
     else:
         outs = sample_fields(xyzs, dirs)
     sigma, rgbs, clip_feat, view_dep, diffuse, omega, basis_rgb, unscaled = outs
@@ -386,4 +395,6 @@ def render_palette_eval(
         out["basis_acc"] = aux_map[:, 6:6 + P]
         out["basis_rgb"] = aux_map[:, 6 + P:6 + P + 3 * P]
         out["unscaled_basis_rgb"] = aux_map[:, 6 + 4 * P:6 + 7 * P]
+    if overflow is not None:
+        out["compact_overflow"] = overflow
     return out

@@ -124,7 +124,7 @@ class Trainer:
             num_samples=s_inf, t_thresh=opt.t_thresh_infer,
             min_near=opt.min_near, bg_radius=spec.bg_radius,
             compaction_rounds=rounds,
-            march_groups=self._march_groups(s_inf),
+            march_groups=self._march_groups(s_inf, exact=True),
             compact_frac=getattr(opt, "eval_compact_frac", 0.0),
             use_pallas_composite=getattr(opt, "use_pallas_composite", False),
         )
@@ -457,6 +457,13 @@ class Trainer:
             outs.append(self._eval_chunk(params, self.grid_state.bitfield,
                                          jnp.asarray(ro), jnp.asarray(rd), bg))
             pads.append(pad)
+        overflow = sum(int(np.asarray(out.pop("compact_overflow"))[0])
+                       for out in outs if "compact_overflow" in out)
+        if overflow > 0:
+            # march-valid samples dropped by an undersized --eval_compact_frac
+            # (would otherwise silently darken the render)
+            self.log(f"[WARN] compact budget overflow: {overflow} valid "
+                     f"samples dropped this frame — raise eval_compact_frac")
         outs = [{k: np.asarray(v)[: chunk - pad if pad else chunk]
                  for k, v in out.items()} for out, pad in zip(outs, pads)]
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
@@ -588,13 +595,22 @@ class Trainer:
         out = self.render_image(ro, rd, bg_color)
         return {k: v.reshape(rH, rW, *v.shape[1:]) for k, v in out.items()}
 
-    def _march_groups(self, num_samples: int) -> int:
+    def _march_groups(self, num_samples: int, exact: bool = False) -> int:
         """Group-slot budget for the hierarchical occupancy march: enough groups
         that every sample slot can come from a distinct group plus dilation slack
-        (each group spans 8 candidates). 0 disables (flat per-candidate tests)."""
+        (each group spans 8 candidates). 0 disables (flat per-candidate tests).
+
+        ``exact=True`` (metric/eval paths) auto-resolves to 0: when more dilated
+        supercell groups pass the coarse test than there are slots, valid samples
+        the flat path would retain are silently dropped — acceptable jitter for
+        training, not for metric-critical eval output. A user-supplied
+        ``--march_groups > 0`` overrides both paths; ``--march_groups 0`` forces
+        flat-path parity everywhere."""
         mg = getattr(self.opt, "march_groups", -1)
         if mg >= 0:
             return mg
+        if exact:
+            return 0
         return max(16, num_samples // 4)
 
     def _compaction_rounds(self, s_inf: int) -> tuple:
@@ -612,9 +628,15 @@ class Trainer:
         combination compiles once, then hits the cache."""
         import dataclasses
 
-        self.train_settings = dataclasses.replace(
-            self.train_settings, **{k: v for k, v in kw.items()
-                                    if k != "compaction_rounds"})
+        tkw = {k: v for k, v in kw.items() if k != "compaction_rounds"}
+        if "num_samples" in kw and "march_groups" not in kw:
+            # re-provision the hierarchical-march group budget for the new
+            # sample count (otherwise raising samples via the GUI slider
+            # under-provisions group slots and silently drops samples)
+            tkw = dict(tkw, march_groups=self._march_groups(kw["num_samples"]))
+            kw = dict(kw, march_groups=self._march_groups(kw["num_samples"],
+                                                          exact=True))
+        self.train_settings = dataclasses.replace(self.train_settings, **tkw)
         if "num_samples" in kw and "compaction_rounds" not in kw:
             # keep the eval compaction schedule consistent with the new sample
             # budget (the GUI 'max samples' slider was a no-op otherwise)
