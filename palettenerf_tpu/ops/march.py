@@ -92,27 +92,57 @@ SUPER_FACTOR = 4  # occupancy supercell = 4^3 fine cells
 
 def build_super_bitfield(bitfield, grid_size: int, cascade: int,
                          factor: int = SUPER_FACTOR):
-    """Dilated coarse occupancy mip for hierarchical empty-space tests.
+    """Dilated GLOBAL coarse occupancy mip for hierarchical empty-space tests.
 
-    Supercell (c, X, Y, Z) is set iff ANY fine cell within one supercell radius
-    (3^3 supercell neighbourhood, i.e. a conservative dilation) is occupied at
-    cascade c. A candidate group whose representative point lies in an empty
-    dilated supercell is guaranteed empty as long as every group member is within
-    ``factor * cell_size`` of the representative — the invariant ``march_rays``
-    maintains for its group span. Packed uint8 [CAS*(H/f)^3 // 8].
+    One [Hs^3] supergrid over the full scene extent (the top cascade's frame,
+    ±2^(cascade-1)): supercell (X, Y, Z) is set iff ANY cascade's occupied fine
+    cell intersects it or a 3^3 neighbour (conservative dilation). Because the
+    reference marcher may test a sample at ANY mip level ≥ its position mip
+    (``mip_from_dt``, raymarching.cu:45-57), a sound coarse skip must cover all
+    cascades at once — hence the OR across cascades. Cascade c covers ±2^c with
+    H^3 cells, so its cells block-reduce into supercells by the integer ratio
+    ``factor * 2^(cascade-1-c)`` and land in the centered ``H/ratio``-cell
+    sub-cube of the supergrid. Packed uint8 [(H/f)^3 // 8].
+
+    A candidate group whose representative point lies in an empty dilated
+    supercell is guaranteed empty as long as every group member is within one
+    supercell size of the representative — checked per group in
+    ``_march_rays_hier`` (static for dt_gamma=0, dynamic otherwise).
     """
     H = grid_size
     Hs = H // factor
     bits = jnp.unpackbits(bitfield, bitorder="little")
-    occ = bits.reshape(-1, Hs, factor, Hs, factor, Hs, factor)
-    sup = occ.max(axis=(2, 4, 6)).astype(jnp.uint8)          # [CAS, Hs, Hs, Hs]
+    occ = bits.reshape(cascade, H, H, H)
+    sup = jnp.zeros((Hs, Hs, Hs), jnp.uint8)
+    for c in range(cascade):
+        r = factor * 2 ** (cascade - 1 - c)
+        if r > H:  # cascade grid smaller than one supercell: give up (caller
+            return None  # must gate on this via super_bitfield_ok)
+        blk = occ[c].reshape(H // r, r, H // r, r, H // r, r).max(axis=(1, 3, 5))
+        side = H // r
+        o = (Hs - side) // 2
+        sup = sup.at[o:o + side, o:o + side, o:o + side].max(blk.astype(jnp.uint8))
     # 3^3 dilation via three separable edge-clamped axis max-pools
-    for ax in (1, 2, 3):
+    for ax in (0, 1, 2):
         n = sup.shape[ax]
         lo = jnp.take(sup, jnp.clip(jnp.arange(n) - 1, 0, n - 1), axis=ax)
         hi = jnp.take(sup, jnp.clip(jnp.arange(n) + 1, 0, n - 1), axis=ax)
         sup = jnp.maximum(sup, jnp.maximum(lo, hi))
     return packbits_u8(sup.reshape(-1))
+
+
+def super_bitfield_ok(bound: float, grid_size: int, cascade: int,
+                      factor: int = SUPER_FACTOR) -> bool:
+    """Static soundness gate for the hierarchical march.
+
+    The global supermip's cascade-frame alignment needs ``bound == 2^(cascade-1)``
+    (the reference's own convention: cascade = 1 + ceil(log2 bound) makes mip c
+    cover ±min(2^c, bound); a fractional bound mis-sizes the top frame), and
+    every cascade's block-reduce ratio must fit the grid.
+    """
+    if cascade > 1 and abs(bound - 2 ** (cascade - 1)) > 1e-6:
+        return False
+    return factor * 2 ** (cascade - 1) <= grid_size
 
 
 def packbits_u8(occ):
@@ -122,32 +152,44 @@ def packbits_u8(occ):
 
 
 def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: float,
-                     H: int, K: int, S: int, dt_min: float, g: int, Sg: int
+                     H: int, K: int, S: int, dt_min: float, dt_max: float,
+                     dt_gamma: float, cascade: int, g: int, Sg: int
                      ) -> MarchResult:
-    """Two-phase hierarchical march (uniform dt, single cascade).
+    """Two-phase hierarchical march (any dt_gamma / cascade).
 
-    Phase 1 tests one dilated supercell per GROUP of ``g`` consecutive candidates
-    (K/g coarse gathers/ray instead of K), compacts the first ``Sg`` passing
-    groups, then phase 2 occupancy-tests only their ``Sg*g`` member candidates.
-    Gather rows drop from K to K/g + Sg*g (~3x for the default schedules); output
-    is bit-identical to the flat path whenever <= Sg groups pass (the dilated
-    supercell test is conservative, see build_super_bitfield).
+    Phase 1 tests one dilated GLOBAL supercell per GROUP of ``g`` consecutive
+    candidates (K/g coarse gathers/ray instead of K), compacts the first ``Sg``
+    passing groups, then phase 2 occupancy-tests only their ``Sg*g`` member
+    candidates at each member's own mip level (exact flat-path semantics).
+    Gather rows drop from K to K/g + Sg*g (~3x for the default schedules).
+
+    Soundness with adaptive stepping: the coarse skip is valid only while every
+    group member stays within one supercell size of the group midpoint. With
+    ``dt_gamma > 0`` the span grows along the ray, so each group carries a
+    dynamic ``safe`` bit — unsafe (far-field, dt ~ dt_max) groups are forced to
+    PASS the coarse test and get fine-tested like the flat path would. Output
+    is bit-identical to the flat path whenever <= Sg groups pass.
     """
     N = rays_o.shape[0]
     Hs = H // SUPER_FACTOR
     Kg = K // g
+    H3 = H ** 3
 
-    # ---- phase 1: group-representative supercell tests
-    i_g = jnp.arange(Kg, dtype=jnp.float32)[None, :]
-    t_rep = t0[:, None] + (i_g * g + (g - 1) * 0.5) * dt_min           # [N, Kg]
-    xyz_rep = jnp.clip(rays_o[:, None, :] + t_rep[..., None] * rays_d[:, None, :],
+    ts_all = candidate_ts(t0, K, dt_min, dt_max, dt_gamma)              # [N, K]
+    tg = ts_all.reshape(N, Kg, g)
+    t_first, t_last = tg[:, :, 0], tg[:, :, -1]
+    t_mid = 0.5 * (t_first + t_last)
+
+    # ---- phase 1: group-midpoint supercell tests (global frame, all cascades)
+    xyz_rep = jnp.clip(rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :],
                        -bound, bound)
     cell_s = jnp.clip((0.5 * (xyz_rep / bound + 1.0) * Hs).astype(jnp.int32),
                       0, Hs - 1)
     flat_s = cell_s[..., 0] * (Hs * Hs) + cell_s[..., 1] * Hs + cell_s[..., 2]
     sup_occ = occ_lookup(sup_bitfield, flat_s)
-    first_t = t0[:, None] + (i_g * g) * dt_min
-    gmask = sup_occ & (first_t < fars[:, None])                        # [N, Kg]
+    supercell = 2.0 * bound / Hs
+    safe = (t_last - t_first) * 0.5 <= supercell                        # [N, Kg]
+    gmask = (sup_occ | ~safe) & (t_first < fars[:, None])               # [N, Kg]
 
     # ---- compact first Sg passing groups (slot order == ray order)
     kg_idx = jnp.arange(Kg, dtype=jnp.int32)[None, :]
@@ -156,15 +198,22 @@ def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: fl
     gslot = gvals > 0
     kept_g = jnp.where(gslot, Kg - gvals, 0)                            # [N, Sg]
 
-    # ---- phase 2: fine occupancy on member candidates
-    j = jnp.arange(g, dtype=jnp.float32)[None, None, :]
-    t_f = (t0[:, None, None]
-           + (kept_g.astype(jnp.float32)[..., None] * g + j) * dt_min)  # [N, Sg, g]
-    t_f = t_f.reshape(N, Sg * g)
+    # ---- phase 2: fine occupancy on member candidates (own mip level each)
+    t_f = jnp.take_along_axis(
+        tg, kept_g[..., None], axis=1).reshape(N, Sg * g)               # [N, Sg*g]
+    dt_f = (jnp.clip(t_f * dt_gamma, dt_min, dt_max) if dt_gamma > 0
+            else jnp.full_like(t_f, dt_min))
     xyz = jnp.clip(rays_o[:, None, :] + t_f[..., None] * rays_d[:, None, :],
                    -bound, bound)
-    cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32), 0, H - 1)
-    flat = cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
+    if cascade > 1:
+        lvl = mip_level(xyz, dt_f, H, cascade)
+        mip_bound = jnp.minimum(jnp.exp2(lvl.astype(jnp.float32)), bound)
+        cell = jnp.clip((0.5 * (xyz / mip_bound[..., None] + 1.0) * H
+                         ).astype(jnp.int32), 0, H - 1)
+        flat = lvl * H3 + cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
+    else:
+        cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32), 0, H - 1)
+        flat = cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
     occ = occ_lookup(bitfield, flat)
     fmask = (occ & (t_f < fars[:, None])
              & jnp.repeat(gslot, g, axis=-1))                           # [N, Sg*g]
@@ -172,17 +221,21 @@ def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: fl
     # ---- final sample compaction (fine set is t-ascending by construction)
     kf = jnp.arange(Sg * g, dtype=jnp.int32)[None, :]
     score = jnp.where(fmask, Sg * g - kf, 0)
-    top_vals, _ = jax.lax.top_k(score, S)
+    top_vals, _ = jax.lax.top_k(score, min(S, Sg * g))
+    if Sg * g < S:  # tiny group budget: pad the sample slots
+        top_vals = jnp.pad(top_vals, ((0, 0), (0, S - Sg * g)))
     slot_mask = top_vals > 0
     kept_k = jnp.where(slot_mask, Sg * g - top_vals, 0)
 
     t_kept = jnp.take_along_axis(t_f, kept_k, axis=1)
+    dt_kept = (jnp.clip(t_kept * dt_gamma, dt_min, dt_max) if dt_gamma > 0
+               else jnp.full_like(t_kept, dt_min))
     xyz_kept = jnp.clip(
         rays_o[:, None, :] + t_kept[..., None] * rays_d[:, None, :], -bound, bound)
-    t_cum = jnp.where(slot_mask, t_kept + dt_min - t0[:, None], 0.0)
+    t_cum = jnp.where(slot_mask, t_kept + dt_kept - t0[:, None], 0.0)
     return MarchResult(
         xyzs=jnp.where(slot_mask[..., None], xyz_kept, 0.0),
-        dts=jnp.where(slot_mask, dt_min, 0.0),
+        dts=jnp.where(slot_mask, dt_kept, 0.0),
         t_cum=t_cum,
         ts=jnp.where(slot_mask, t_kept, 0.0),
         mask=slot_mask,
@@ -202,8 +255,9 @@ def march_rays(
     max_steps: int,    # K: candidate count (reference max_steps, default 1024)
     num_samples: int,  # S: retained sample slots per ray
     noise=None,        # [N] in [0,1) perturbation, or None
-    sup_bitfield=None, # optional dilated supercell mip (build_super_bitfield) —
-                       # enables the 2-phase hierarchical test (dt_gamma=0 only)
+    sup_bitfield=None, # optional dilated global supercell mip
+                       # (build_super_bitfield) — enables the 2-phase
+                       # hierarchical test (any dt_gamma / cascade)
     max_groups: int = 0,  # candidate-group slots for the hierarchical test
 ) -> MarchResult:
     H = grid_size
@@ -216,16 +270,18 @@ def march_rays(
     if noise is not None:
         t0 = t0 + jnp.clip(t0 * dt_gamma, dt_min, dt_max) * noise
 
-    if sup_bitfield is not None and max_groups > 0 and dt_gamma <= 0 and cascade == 1:
+    if (sup_bitfield is not None and max_groups > 0
+            and super_bitfield_ok(bound, H, cascade)):
         g = 8
-        span = (g - 1) * dt_min  # group extent around its midpoint is span/2
-        # soundness: every group member must stay within one supercell size of the
-        # representative (the dilation radius); otherwise fall back to flat tests
-        if span * 0.5 <= SUPER_FACTOR * 2.0 * bound / H and max_steps % g == 0:
-            return _march_rays_hier(
-                rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound, H,
-                max_steps, num_samples, dt_min, g,
-                min(max_groups, max_steps // g))
+        if max_steps % g == 0:
+            # dt_gamma == 0: the group span is static; require it within the
+            # dilation radius up front (with dt_gamma > 0 the per-group
+            # dynamic ``safe`` bit inside _march_rays_hier handles this)
+            if dt_gamma > 0 or (g - 1) * dt_min * 0.5 <= SUPER_FACTOR * 2.0 * bound / H:
+                return _march_rays_hier(
+                    rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound, H,
+                    max_steps, num_samples, dt_min, dt_max, dt_gamma, cascade,
+                    g, min(max_groups, max_steps // g))
 
     ts = candidate_ts(t0, max_steps, dt_min, dt_max, dt_gamma)  # [N, K]
     dts = jnp.clip(ts * dt_gamma, dt_min, dt_max)

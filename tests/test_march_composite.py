@@ -251,3 +251,127 @@ class TestHierarchicalMarch:
         xs, ys, zs = np.nonzero(occ)
         for x, y, z in list(zip(xs, ys, zs))[:200]:
             assert sup_bits[x // 4, y // 4, z // 4] == 1
+
+class TestHierarchicalMarchAdaptive:
+    """Generalized 2-phase march: dt_gamma > 0 and multi-cascade scenes
+    (reference adaptive stepping raymarching.cu:348-402), plus adversarial
+    probes of the dilation-radius invariant and the group-budget overflow
+    posture (round-3 verdict items 3 and 7)."""
+
+    def _multicascade_scene(self, n=48, key=1, G=64, cascade=3):
+        """Occupancy in all cascades: a ball near the origin (cascade 0) and
+        content out at |x| ~ 3 that only cascade 2 covers."""
+        rng = np.random.default_rng(key)
+        bound = float(2 ** (cascade - 1))
+        occ = np.zeros((cascade, G, G, G), bool)
+        r = 2 * (np.arange(G) + 0.5) / G - 1            # cell centers, frame units
+        X, Y, Z = np.meshgrid(r, r, r, indexing="ij")
+        for c in range(cascade):
+            e = 2.0 ** c                                 # cascade extent +-e
+            Xw, Yw, Zw = X * e, Y * e, Z * e
+            occ[c] |= (Xw ** 2 + Yw ** 2 + Zw ** 2) < 0.3          # central ball
+            occ[c] |= ((Xw - 3.0) ** 2 + Yw ** 2 + (Zw - 1.0) ** 2) < 0.4  # far blob
+        from palettenerf_tpu.ops.occupancy import packbits
+        bitfield = packbits(jnp.asarray(occ.reshape(-1).astype(np.uint8)))
+        z = rng.normal(size=(n, 3)) * 0.35 + np.asarray([0.3, 0, 1.0])
+        rd = z / np.linalg.norm(z, axis=-1, keepdims=True)
+        ro = np.broadcast_to(np.asarray([0.0, 0.0, -1.2 * bound]), (n, 3))
+        from palettenerf_tpu.ops.rays import near_far_from_aabb
+        nears, fars = near_far_from_aabb(
+            jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32),
+            jnp.asarray([-bound] * 3 + [bound] * 3, jnp.float32), 0.05)
+        return (bitfield, jnp.asarray(ro, jnp.float32),
+                jnp.asarray(rd, jnp.float32), nears, fars, G, bound, cascade)
+
+    def _assert_equal_march(self, flat, hier):
+        np.testing.assert_array_equal(np.asarray(flat.mask), np.asarray(hier.mask))
+        np.testing.assert_allclose(np.asarray(flat.ts), np.asarray(hier.ts), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(flat.dts), np.asarray(hier.dts), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(flat.xyzs), np.asarray(hier.xyzs),
+                                   atol=1e-6)
+
+    def test_dt_gamma_matches_flat(self):
+        """LLFF profile (dt_gamma > 0, single cascade): with a full group budget
+        the hierarchical march must reproduce the flat path exactly — far-field
+        groups whose span exceeds the dilation radius auto-pass the coarse test."""
+        from palettenerf_tpu.ops.march import build_super_bitfield, march_rays
+        bitfield, ro, rd, nears, fars, G, bound, cas = self._multicascade_scene(
+            cascade=1)
+        K, S = 512, 64
+        sup = build_super_bitfield(bitfield, G, cas)
+        for dt_gamma in (1.0 / 256, 1.0 / 64):
+            flat = march_rays(ro, rd, nears, fars, bitfield, bound, cas, G,
+                              dt_gamma, K, S, None)
+            hier = march_rays(ro, rd, nears, fars, bitfield, bound, cas, G,
+                              dt_gamma, K, S, None,
+                              sup_bitfield=sup, max_groups=K // 8)
+            self._assert_equal_march(flat, hier)
+            assert np.asarray(flat.mask).sum() > 0  # scene actually hit
+
+    def test_multicascade_matches_flat(self):
+        """bound=4 / cascade=3 / dt_gamma>0 (mip360-style): exact flat parity
+        with a full group budget, including samples only cascade 2 covers."""
+        from palettenerf_tpu.ops.march import build_super_bitfield, march_rays
+        bitfield, ro, rd, nears, fars, G, bound, cas = self._multicascade_scene()
+        K, S = 512, 96
+        sup = build_super_bitfield(bitfield, G, cas)
+        flat = march_rays(ro, rd, nears, fars, bitfield, bound, cas, G,
+                          1.0 / 128, K, S, None)
+        hier = march_rays(ro, rd, nears, fars, bitfield, bound, cas, G,
+                          1.0 / 128, K, S, None,
+                          sup_bitfield=sup, max_groups=K // 8)
+        self._assert_equal_march(flat, hier)
+        # the far blob at |x|~3 is outside cascade 0/1 (extent 1, 2): the rays
+        # must be sampling it through the top cascade for the test to mean much
+        ts = np.asarray(flat.ts)[np.asarray(flat.mask)]
+        assert (ts > 0.6 * float(np.asarray(nears).min() + 3.0)).any()
+
+    def test_dilation_radius_boundary(self):
+        """Adversarial: K chosen so the static group half-span sits just inside
+        the dilation radius (worst-case geometry for the supercell invariant).
+        Still must match flat exactly with a full group budget."""
+        from palettenerf_tpu.ops.march import (
+            SUPER_FACTOR, SQRT3, build_super_bitfield, march_rays)
+        bitfield, ro, rd, nears, fars, G, bound, cas = self._multicascade_scene(
+            cascade=1, key=7)
+        # largest K multiple of 8 with span/2 <= supercell: span/2 = 3.5*2*sqrt3/K
+        sup_size = SUPER_FACTOR * 2.0 * bound / G
+        K = 8 * int(np.ceil(3.5 * 2 * SQRT3 / sup_size / 8))
+        assert (8 - 1) * (2 * SQRT3 / K) * 0.5 <= sup_size  # gate passes
+        assert (8 - 1) * (2 * SQRT3 / (K - 8)) * 0.5 > sup_size  # ...barely
+        S = 64
+        sup = build_super_bitfield(bitfield, G, cas)
+        flat = march_rays(ro, rd, nears, fars, bitfield, bound, cas, G, 0.0,
+                          K, S, None)
+        hier = march_rays(ro, rd, nears, fars, bitfield, bound, cas, G, 0.0,
+                          K, S, None, sup_bitfield=sup, max_groups=K // 8)
+        self._assert_equal_march(flat, hier)
+
+    def test_group_overflow_prefix_posture(self):
+        """Adversarial: EVERY group passes the coarse test (all cells occupied)
+        and the group budget is tiny. The documented drop posture: the result is
+        exactly the flat samples that fall in the first Sg groups (a t-prefix),
+        never reordered or invented samples."""
+        from palettenerf_tpu.ops.march import build_super_bitfield, march_rays
+        from palettenerf_tpu.ops.occupancy import packbits
+        G = 32
+        bitfield = packbits(jnp.ones((G ** 3 // 8 * 8,), jnp.uint8))
+        n = 16
+        rng = np.random.default_rng(5)
+        z = rng.normal(size=(n, 3)) * 0.2 + np.asarray([0, 0, 1.0])
+        rd = jnp.asarray(z / np.linalg.norm(z, axis=-1, keepdims=True), jnp.float32)
+        ro = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.5]), (n, 3))
+        from palettenerf_tpu.ops.rays import near_far_from_aabb
+        nears, fars = near_far_from_aabb(
+            ro, rd, jnp.asarray([-1., -1, -1, 1, 1, 1]), 0.2)
+        K, S, Sg = 256, 64, 4
+        sup = build_super_bitfield(bitfield, G, 1)
+        flat = march_rays(ro, rd, nears, fars, bitfield, 1.0, 1, G, 0.0, K, S, None)
+        hier = march_rays(ro, rd, nears, fars, bitfield, 1.0, 1, G, 0.0, K, S, None,
+                          sup_bitfield=sup, max_groups=Sg)
+        fm, hm = np.asarray(flat.mask), np.asarray(hier.mask)
+        ft, ht = np.asarray(flat.ts), np.asarray(hier.ts)
+        for i in range(n):
+            nh = int(hm[i].sum())
+            assert nh == min(Sg * 8, int(fm[i].sum()), S)
+            np.testing.assert_allclose(ht[i, :nh], ft[i, :nh], atol=1e-6)
