@@ -148,9 +148,15 @@ def make_rlpips_kernels(seed: int = 0):
     kernels = []
     c_in = 3
     for c_out, k, _s in _RLPIPS_TOPOLOGY:
-        key, sub = jax.random.split(key)
+        key, sub, sub_b = jax.random.split(key, 3)
         w = jax.random.normal(sub, (c_out, c_in, k, k)) * np.sqrt(2.0 / (c_in * k * k))
-        kernels.append(w)
+        # random biases make the stack AFFINE: a bias-free ReLU conv stack is
+        # positively homogeneous in its input, so the per-pixel channel-unit
+        # normalization in rlpips_distance cancels global contrast changes
+        # exactly (measured rho = -0.65 noise on the contrast family in
+        # docs/rlpips_validation.md before this term; +1.0 after)
+        b = jax.random.normal(sub_b, (c_out,)) * 0.2
+        kernels.append((w, b))
         c_in = c_out
     return kernels
 
@@ -164,9 +170,9 @@ def rlpips_distance(kernels, p, g):
     def feats(x):
         h = jnp.moveaxis(x, -1, 1) * 2.0 - 1.0        # NCHW in [-1, 1]
         out = []
-        for w, (_c, _k, s) in zip(kernels, _RLPIPS_TOPOLOGY):
+        for (w, b), (_c, _k, s) in zip(kernels, _RLPIPS_TOPOLOGY):
             h = jax.lax.conv_general_dilated(h, w, (s, s), "SAME")
-            h = jax.nn.relu(h)
+            h = jax.nn.relu(h + b[None, :, None, None])
             out.append(h)
         return out
 

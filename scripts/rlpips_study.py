@@ -28,7 +28,13 @@ import sys
 import numpy as np
 
 sys.path.insert(0, ".")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon plugin force-registers jax_platforms="axon,cpu" at interpreter start
+# (sitecustomize), so the env var alone is NOT enough — pin via jax.config, the
+# same pattern as tests/conftest.py. The study is pure CPU by design.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def load_images(paths):
