@@ -340,10 +340,7 @@ def main():
     result["value"] = round(fps, 3)
     result["vs_baseline"] = round(fps / 30.0, 4)
     result["rays_per_sec"] = round(800 * 800 * fps)
-    try:
-        sv_nerf = sv._replace(
-            num_basis=0,
-            vols=None, occ=sv.occ)  # rebuilt below (nerf layout differs)
+    def _nerf_sweep(sv):
         from palettenerf_tpu.render.baking import BakedVolume
         from palettenerf_tpu.render.sweep import build_sweep_volume
         import jax.numpy as jnp
@@ -352,7 +349,10 @@ def main():
         dens = sv.vols[0][:, :, 0, :].astype(jnp.float32)  # [Z,X,C,Y] channel 0
         baked_n = BakedVolume(R, 1.0, dens, jnp.zeros((R, R, R, 3)) + 0.5,
                               None, None, None)
-        result["nerf_sweep_fps"] = round(bench_nerf_sweep(build_sweep_volume(baked_n)), 3)
+        return bench_nerf_sweep(build_sweep_volume(baked_n))
+
+    try:
+        result["nerf_sweep_fps"] = round(_nerf_sweep(sv), 3)
         _log("nerf sweep done")
     except Exception as e:  # secondary metric must not kill the headline
         result["nerf_sweep_error"] = str(e)[:120]
@@ -362,6 +362,12 @@ def main():
         _log("single-basis edit bench done")
     except Exception as e:
         result["single_basis_edit_error"] = str(e)[:120]
+    # free the multi-GB sweep volumes from HBM before the train/eval benches —
+    # leaving them resident OOM'd the exact-gradient train bench on the 16 GB
+    # v5e chip (round-4 finding)
+    import gc
+    del sv
+    gc.collect()
     try:
         result["train_steps_per_sec"] = round(bench_train_steps(), 3)
         _log("train bench done")

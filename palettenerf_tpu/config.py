@@ -137,7 +137,10 @@ class Config:
     fast_grad: bool = False            # nearest-corner hash backward (8x fewer scatter updates)
     stochastic_trilerp: bool = False   # train-only 1-corner MC hash forward (8x fewer gathers)
     grad_levels: int = 0               # hash backward: random level subset per step (0 = all)
-    march_groups: int = -1             # march group slots (-1 auto: train-only; 0 flat everywhere)
+    march_groups: int = -1             # hierarchical-march group slots (-1 = flat
+                                       # everywhere, same as 0; >0 opts in — lossy
+                                       # when more groups pass than slots: a default-on
+                                       # train run diverged on the acceptance scene)
     gridtype: str = "hash"             # hash | tiled | hash_xadd (TPU pair-local hash)
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
@@ -151,6 +154,9 @@ class Config:
     ema_decay: float = 0.95
     eval_interval: int = 50
     max_keep_ckpt: int = 2
+    ckpt_interval: int = 5             # rolling-save cadence in epochs (a save reads
+                                       # ~150 MB of param/opt state back through the
+                                       # tunnel, ~7 s; final epoch always saves)
 
     # derived
     @property

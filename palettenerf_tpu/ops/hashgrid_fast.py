@@ -420,10 +420,18 @@ def _scatter_global(idx_flat, upd, total_rows: int, cdtype, out_dtype, width: in
         grad = tile_scatter_add(idx_flat, vals, total_rows,
                                 interpret=jax.default_backend() != "tpu")
         return grad.astype(out_dtype)
-    fidx = jnp.concatenate([idx_flat * width + c for c in range(width)])
+    # Column-major flat scatter + [width, total] reshape + transpose: every step
+    # is bitcast-compatible with the compact {0,1} layout of [total, width]. The
+    # previous row-major form (idx*width + c, then reshape(total, width)) was only
+    # bitcast-free in the row-major {1,0} layout, whose (8,128) tiling pads
+    # width=2 to 128 — a 64x HBM blowup that propagated through the adam update
+    # into the scan carry and OOM'd the exact-f32 train compile at 17.5 GB
+    # (4 x 2.92 GB carry copies for a 46.7 MB table; round-4 on-chip finding,
+    # repro: 3.13 GB -> 98.6 MB of HLO temps from this change alone).
+    fidx = jnp.concatenate([c * total_rows + idx_flat for c in range(width)])
     fupd = jnp.concatenate([upd[:, c] for c in range(width)])
     grad = jnp.zeros((total_rows * width,), cdtype).at[fidx].add(fupd.astype(cdtype))
-    return grad.reshape(total_rows, width).astype(out_dtype)
+    return grad.reshape(width, total_rows).T.astype(out_dtype)
 
 
 def _select_levels(arrs, lvls, L: int, K: int):

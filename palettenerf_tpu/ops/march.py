@@ -175,10 +175,18 @@ def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: fl
     Kg = K // g
     H3 = H ** 3
 
-    ts_all = candidate_ts(t0, K, dt_min, dt_max, dt_gamma)              # [N, K]
-    tg = ts_all.reshape(N, Kg, g)
-    t_first, t_last = tg[:, :, 0], tg[:, :, -1]
-    t_mid = 0.5 * (t_first + t_last)
+    if dt_gamma > 0:
+        ts_all = candidate_ts(t0, K, dt_min, dt_max, dt_gamma)          # [N, K]
+        tg = ts_all.reshape(N, Kg, g)
+        t_first, t_last = tg[:, :, 0], tg[:, :, -1]
+        t_mid = 0.5 * (t_first + t_last)
+    else:
+        # uniform stepping: everything is closed-form in the group index —
+        # no [N, K] candidate materialisation, no gathers (round-3 fast path)
+        i_g = jnp.arange(Kg, dtype=jnp.float32)[None, :]
+        t_first = t0[:, None] + (i_g * g) * dt_min
+        t_last = t_first + (g - 1) * dt_min
+        t_mid = t_first + (g - 1) * 0.5 * dt_min
 
     # ---- phase 1: group-midpoint supercell tests (global frame, all cascades)
     xyz_rep = jnp.clip(rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :],
@@ -187,9 +195,13 @@ def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: fl
                       0, Hs - 1)
     flat_s = cell_s[..., 0] * (Hs * Hs) + cell_s[..., 1] * Hs + cell_s[..., 2]
     sup_occ = occ_lookup(sup_bitfield, flat_s)
-    supercell = 2.0 * bound / Hs
-    safe = (t_last - t_first) * 0.5 <= supercell                        # [N, Kg]
-    gmask = (sup_occ | ~safe) & (t_first < fars[:, None])               # [N, Kg]
+    if dt_gamma > 0:
+        supercell = 2.0 * bound / Hs
+        safe = (t_last - t_first) * 0.5 <= supercell                    # [N, Kg]
+        gmask = (sup_occ | ~safe) & (t_first < fars[:, None])           # [N, Kg]
+    else:
+        # static span bound already checked by the march_rays gate
+        gmask = sup_occ & (t_first < fars[:, None])                     # [N, Kg]
 
     # ---- compact first Sg passing groups (slot order == ray order)
     kg_idx = jnp.arange(Kg, dtype=jnp.int32)[None, :]
@@ -199,8 +211,14 @@ def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: fl
     kept_g = jnp.where(gslot, Kg - gvals, 0)                            # [N, Sg]
 
     # ---- phase 2: fine occupancy on member candidates (own mip level each)
-    t_f = jnp.take_along_axis(
-        tg, kept_g[..., None], axis=1).reshape(N, Sg * g)               # [N, Sg*g]
+    if dt_gamma > 0:
+        t_f = jnp.take_along_axis(
+            tg, kept_g[..., None], axis=1).reshape(N, Sg * g)           # [N, Sg*g]
+    else:
+        j = jnp.arange(g, dtype=jnp.float32)[None, None, :]
+        t_f = (t0[:, None, None]
+               + (kept_g.astype(jnp.float32)[..., None] * g + j) * dt_min
+               ).reshape(N, Sg * g)                                     # [N, Sg*g]
     dt_f = (jnp.clip(t_f * dt_gamma, dt_min, dt_max) if dt_gamma > 0
             else jnp.full_like(t_f, dt_min))
     xyz = jnp.clip(rays_o[:, None, :] + t_f[..., None] * rays_d[:, None, :],

@@ -354,6 +354,12 @@ class Trainer:
                 intr, train_ds.H, train_ds.W,
             )
             self.global_step += len(chunk)
+            # One tiny scalar readback per scan: the axon tunnel degrades ~3.3x
+            # when many executions queue with no intervening sync (round-4
+            # measurement, scripts/profile_train_overhead.py: 236 ms/step
+            # deferred vs 72 ms/step synced). ~30 ms RTT per scan is noise next
+            # to the 1.1 s of queued compute it closes out.
+            np.asarray(ls[-1:])
             losses.append(ls)
         avg = float(jnp.concatenate(losses).mean())
         self.stats["loss"].append(avg)
@@ -396,7 +402,12 @@ class Trainer:
                 self.train_one_epoch_fast(train_ds)
             else:
                 self.train_one_epoch(train_ds)
-            self.save_checkpoint(best=False)
+            # A rolling save costs ~7 s through the axon tunnel (150 MB of
+            # param/opt state readback) — amortize it over ckpt_interval
+            # epochs; crash recovery loses at most that many epochs.
+            ck_every = max(1, getattr(self.opt, "ckpt_interval", 1))
+            if self.epoch % ck_every == 0 or self.epoch == max_epochs:
+                self.save_checkpoint(best=False)
             if valid_ds is not None and self.epoch % self.eval_interval == 0:
                 self.evaluate_one_epoch(valid_ds)
                 self.save_checkpoint(best=True)
@@ -596,22 +607,20 @@ class Trainer:
         return {k: v.reshape(rH, rW, *v.shape[1:]) for k, v in out.items()}
 
     def _march_groups(self, num_samples: int, exact: bool = False) -> int:
-        """Group-slot budget for the hierarchical occupancy march: enough groups
-        that every sample slot can come from a distinct group plus dilation slack
-        (each group spans 8 candidates). 0 disables (flat per-candidate tests).
+        """Group-slot budget for the hierarchical occupancy march. 0 disables
+        (flat per-candidate tests); the default (-1) resolves to 0 everywhere.
 
-        ``exact=True`` (metric/eval paths) auto-resolves to 0: when more dilated
-        supercell groups pass the coarse test than there are slots, valid samples
-        the flat path would retain are silently dropped — acceptable jitter for
-        training, not for metric-critical eval output. A user-supplied
-        ``--march_groups > 0`` overrides both paths; ``--march_groups 0`` forces
-        flat-path parity everywhere."""
+        The hierarchical march is strictly opt-in (``--march_groups > 0``):
+        when more dilated supercell groups pass the coarse test than there are
+        slots, valid samples the flat path would retain are silently dropped.
+        On the acceptance scene (large occupied ground plane) a default-on
+        train run diverged — loss bottomed at 0.017 by epoch 6 and rose to
+        0.03+ as the sample drops fed back through the occupancy grid
+        (round-4 on-chip finding). ``exact`` is kept in the signature so a
+        future auto mode can again distinguish metric paths."""
+        del exact, num_samples
         mg = getattr(self.opt, "march_groups", -1)
-        if mg >= 0:
-            return mg
-        if exact:
-            return 0
-        return max(16, num_samples // 4)
+        return max(0, mg)
 
     def _compaction_rounds(self, s_inf: int) -> tuple:
         """Static alive-ray compaction schedule for an eval budget of ``s_inf``

@@ -15,7 +15,7 @@ import jax, jax.numpy as jnp
 from palettenerf_tpu.config import Config
 from palettenerf_tpu.data.provider import NeRFDataset
 from palettenerf_tpu.models.palette import PaletteSpec
-from palettenerf_tpu.render.baking import bake_palette
+from palettenerf_tpu.render.baking import bake_palette, mask_with_bitfield
 from palettenerf_tpu.render.sweep import build_sweep_volume, render_sweep
 from palettenerf_tpu.train import checkpoint as ckpt_lib
 from main_serve import find_checkpoint
@@ -31,13 +31,8 @@ P = params["basis_color"].shape[0]
 spec = PaletteSpec.build(bound=1.0, num_basis=P)
 baked = bake_palette(params, spec, resolution=256, vd_bands=3)
 gs = payload.get("grid_state")
-bf = np.asarray(gs["bitfield"])
-G = round(np.asarray(gs["density_grid"]).shape[-1] ** (1 / 3) + 1e-6)
-occ = np.unpackbits(bf, bitorder="little")[: G ** 3].reshape(G, G, G)
-R = 256
-cell = np.minimum((np.arange(R) + 0.5) * G // R, G - 1).astype(np.int64)
-occ_up = occ.astype(bool)[np.ix_(cell, cell, cell)]
-baked = baked._replace(density=baked.density * jnp.asarray(occ_up, jnp.float32))
+if gs is not None and gs.get("bitfield") is not None:
+    baked = mask_with_bitfield(baked, gs)  # linspace-correct map + 1-cell dilation
 sv = build_sweep_volume(baked, sigma_thresh=1e-3)
 bc = jnp.asarray(np.clip(np.asarray(params["basis_color"]), 0, 1), jnp.float32)
 print("baked", flush=True)
