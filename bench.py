@@ -296,22 +296,19 @@ def _log(msg):
 _T0 = time.perf_counter()
 
 
-def main():
-    result = {"metric": "palette_edit_render_800x800", "value": 0.0, "unit": "fps",
-              "vs_baseline": 0.0}
-
-    # The tunneled TPU backend can wedge (device init hangs in make_c_api_client,
-    # observed multi-hour outages). Emit an explicit error line instead of
-    # hanging until the driver's timeout.
+def _arm_device_watchdog(timeout=600):
+    """The tunneled TPU backend can wedge (device init hangs in
+    make_c_api_client, observed multi-hour outages). Emit an explicit error
+    line instead of hanging until the driver's timeout."""
     import os
     import threading
 
     devices_up = threading.Event()
 
     def _watchdog():
-        if not devices_up.wait(600):
-            print(json.dumps(dict(result, error="TPU device init timed out "
-                                                "(tunnel down)")), flush=True)
+        if not devices_up.wait(timeout):
+            print(json.dumps({"error": "TPU device init timed out (tunnel down)"}),
+                  flush=True)
             os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -321,6 +318,14 @@ def main():
     devices_up.set()
     _log(f"devices up: {n_dev}")
 
+
+def sub_sweep():
+    """Headline + the two sweep variants. These three share the (expensive)
+    checkpoint bake, so they run in one process; the train/eval benches run in
+    their own subprocesses (see main) so the multi-GB sweep volumes can never
+    contaminate their timings — in round 4 leftover sweep HBM state slowed the
+    scanned train bench 11x (686 ms/step recorded vs 63 ms in isolation)."""
+    result = {}
     bc = None
     sv = None
     try:
@@ -340,6 +345,7 @@ def main():
     result["value"] = round(fps, 3)
     result["vs_baseline"] = round(fps / 30.0, 4)
     result["rays_per_sec"] = round(800 * 800 * fps)
+
     def _nerf_sweep(sv):
         from palettenerf_tpu.render.baking import BakedVolume
         from palettenerf_tpu.render.sweep import build_sweep_volume
@@ -362,30 +368,72 @@ def main():
         _log("single-basis edit bench done")
     except Exception as e:
         result["single_basis_edit_error"] = str(e)[:120]
-    # free the multi-GB sweep volumes from HBM before the train/eval benches —
-    # leaving them resident OOM'd the exact-gradient train bench on the 16 GB
-    # v5e chip (round-4 finding)
-    import gc
-    del sv
-    gc.collect()
-    try:
-        result["train_steps_per_sec"] = round(bench_train_steps(), 3)
-        _log("train bench done")
-    except Exception as e:
-        result["train_bench_error"] = str(e)[:120]
-    try:
-        result["train_steps_per_sec_exact"] = round(
-            bench_train_steps(n_steps=6, fast=False), 3)
-        _log("exact train bench done")
-    except Exception as e:
-        result["train_bench_exact_error"] = str(e)[:120]
-    try:
-        s = bench_exact_eval()
-        if s is not None:
-            result["exact_eval_s_per_frame"] = round(s, 3)
-        _log("exact eval bench done")
-    except Exception as e:
-        result["exact_eval_error"] = str(e)[:120]
+    return result
+
+
+def sub_train():
+    return {"train_steps_per_sec": round(bench_train_steps(), 3)}
+
+
+def sub_train_exact():
+    return {"train_steps_per_sec_exact": round(
+        bench_train_steps(n_steps=6, fast=False), 3)}
+
+
+def sub_exact_eval():
+    s = bench_exact_eval()
+    return {} if s is None else {"exact_eval_s_per_frame": round(s, 3)}
+
+
+# name -> (fn, wall-clock budget seconds). Budgets are generous: device init
+# can take minutes through the tunnel and first compiles are 1-3 min.
+_SUBS = {
+    "sweep": (sub_sweep, 2400),
+    "train": (sub_train, 900),
+    "train_exact": (sub_train_exact, 1200),
+    "exact_eval": (sub_exact_eval, 1500),
+}
+
+
+def main():
+    import os
+    import subprocess
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        # child mode: run ONE sub-bench group and print its JSON fragment.
+        _arm_device_watchdog()
+        print(json.dumps(_SUBS[sys.argv[2]][0]()), flush=True)
+        return
+
+    # Parent mode: orchestrate each sub-bench group in its OWN subprocess so
+    # HBM allocations / compile state from one group cannot contaminate the
+    # next (round-4 finding: the driver-recorded train_steps_per_sec was 11x
+    # below the isolated number). The parent never imports jax, so the device
+    # is free for each child in turn.
+    result = {"metric": "palette_edit_render_800x800", "value": 0.0, "unit": "fps",
+              "vs_baseline": 0.0}
+    here = os.path.abspath(__file__)
+    for name, (_, budget) in _SUBS.items():
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--sub", name],
+                stdout=subprocess.PIPE, stderr=sys.stderr,
+                cwd=os.path.dirname(here), timeout=budget)
+            lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
+            if proc.returncode != 0 or not lines:
+                result[f"{name}_error"] = (
+                    f"rc={proc.returncode} out={lines[-1][:80] if lines else ''}")
+                continue
+            frag = json.loads(lines[-1])
+            if "error" in frag:
+                result[f"{name}_error"] = frag.pop("error")
+            result.update(frag)
+            _log(f"sub-bench {name} merged")
+        except subprocess.TimeoutExpired:
+            result[f"{name}_error"] = f"timed out after {budget}s"
+        except Exception as e:
+            result[f"{name}_error"] = str(e)[:120]
     print(json.dumps(result))
 
 

@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_compaction", type=int, default=1, choices=[0, 1],
                    help="alive-ray compaction rounds in eval renders (1=on; "
                         "0=exact single-pass — use for metric runs)")
+    p.add_argument("--eval_fine_grid", type=int, default=0,
+                   help="eval-only: bake a finer occupancy bitfield from the "
+                        "trained field at this resolution (multiple of "
+                        "grid_size, e.g. 256; 0 = off). Collapses march-valid "
+                        "samples to thin surface shells — large exact-eval "
+                        "speedup at identical culling semantics")
     p.add_argument("--eval_compact_frac", type=float, default=0.0,
                    help="eval-only cross-ray valid-sample compaction budget "
                         "(fraction of N*S slots; 0 = off)")

@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_compact_frac", type=float, default=0.0,
                    help="eval-only cross-ray valid-sample compaction budget "
                         "(fraction of N*S slots; 0 = off)")
+    p.add_argument("--eval_fine_grid", type=int, default=0,
+                   help="eval-only: bake a finer occupancy bitfield from the "
+                        "trained field at this resolution (multiple of "
+                        "grid_size, e.g. 256; 0 = off)")
     p.add_argument("--fast_grad", action="store_true",
                    help="nearest-corner hash backward: ~3x faster steps, slightly biased grads")
     return p

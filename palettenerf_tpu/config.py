@@ -144,6 +144,12 @@ class Config:
     gridtype: str = "hash"             # hash | tiled | hash_xadd (TPU pair-local hash)
     t_thresh_train: float = 1e-4
     t_thresh_infer: float = 1e-2
+    eval_fine_grid: int = 0            # eval-only: bake a finer occupancy bitfield
+                                       # from the trained field at this resolution
+                                       # (multiple of grid_size; 256 typical; 0 = off).
+                                       # Strict refinement of the train bitfield —
+                                       # same threshold rule, dilated, ANDed with the
+                                       # train grid (ops/occupancy.bake_fine_bitfield)
     eval_compact_frac: float = 0.0     # cross-ray valid-sample compaction for eval
                                        # field evals (0 = off; 0.375 typical)
     train_compact_frac: float = 0.0    # same for the train step (opt-in: overflow
@@ -154,9 +160,13 @@ class Config:
     ema_decay: float = 0.95
     eval_interval: int = 50
     max_keep_ckpt: int = 2
-    ckpt_interval: int = 5             # rolling-save cadence in epochs (a save reads
-                                       # ~150 MB of param/opt state back through the
-                                       # tunnel, ~7 s; final epoch always saves)
+    ckpt_interval: int = -1            # rolling-save cadence in epochs; -1 resolves
+                                       # per backend at train time: 5 on the tunneled
+                                       # axon platform (a save reads ~150 MB of
+                                       # param/opt state back through the tunnel, ~7 s)
+                                       # and 1 (per-epoch, the reference cadence,
+                                       # nerf/utils.py:941) on local TPU/CPU hosts;
+                                       # final epoch always saves
 
     # derived
     @property

@@ -151,9 +151,35 @@ def packbits_u8(occ):
     return (bits * weights[None, :]).sum(axis=-1, dtype=jnp.uint8)
 
 
+def _fine_occ_and(occ, fine_bitfield, fine_grid_size: int, xyz, dts,
+                  mip_bound, lvl, cascade: int):
+    """AND a dt-aware fine-bitfield test into a coarse occupancy result.
+
+    The candidate march tests occupancy only at positions spaced ``dt`` apart,
+    so a culling grid is sound only where ``dt <= cell edge`` (otherwise a step
+    can skip straight over an occupied cell — the same reasoning as the
+    reference's ``mip_from_dt``, raymarching.cu:45-57, which coarsens the test
+    grid as dt grows). Samples whose step is too coarse for the fine grid fall
+    back to the coarse (train) bitfield result, which ``bake_fine_bitfield``
+    guarantees is a superset. Exact-conservative for every (max_steps,
+    fine_grid) combination.
+    """
+    Ff = fine_grid_size
+    mb = jnp.asarray(mip_bound, jnp.float32)
+    safe = dts <= 2.0 * mb / Ff
+    denom = mb[..., None] if mb.ndim else mb
+    cell_f = jnp.clip((0.5 * (xyz / denom + 1.0) * Ff).astype(jnp.int32),
+                      0, Ff - 1)
+    flat_f = cell_f[..., 0] * (Ff * Ff) + cell_f[..., 1] * Ff + cell_f[..., 2]
+    if cascade > 1:
+        flat_f = lvl * (Ff ** 3) + flat_f
+    return occ & (occ_lookup(fine_bitfield, flat_f) | ~safe)
+
+
 def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: float,
                      H: int, K: int, S: int, dt_min: float, dt_max: float,
-                     dt_gamma: float, cascade: int, g: int, Sg: int
+                     dt_gamma: float, cascade: int, g: int, Sg: int,
+                     fine_bitfield=None, fine_grid_size: int = 0,
                      ) -> MarchResult:
     """Two-phase hierarchical march (any dt_gamma / cascade).
 
@@ -230,9 +256,13 @@ def _march_rays_hier(rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound: fl
                          ).astype(jnp.int32), 0, H - 1)
         flat = lvl * H3 + cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
     else:
+        lvl, mip_bound = None, bound
         cell = jnp.clip((0.5 * (xyz / bound + 1.0) * H).astype(jnp.int32), 0, H - 1)
         flat = cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
     occ = occ_lookup(bitfield, flat)
+    if fine_bitfield is not None and fine_grid_size > 0:
+        occ = _fine_occ_and(occ, fine_bitfield, fine_grid_size, xyz, dt_f,
+                            mip_bound, lvl, cascade)
     fmask = (occ & (t_f < fars[:, None])
              & jnp.repeat(gslot, g, axis=-1))                           # [N, Sg*g]
 
@@ -277,7 +307,15 @@ def march_rays(
                        # (build_super_bitfield) — enables the 2-phase
                        # hierarchical test (any dt_gamma / cascade)
     max_groups: int = 0,  # candidate-group slots for the hierarchical test
+    fine_grid_size: int = 0,  # eval-only finer culling grid (bake_fine_bitfield):
+                       # pass bitfield=(train_bits, fine_bits); the fine test
+                       # applies only where dt <= fine cell edge (dt-aware
+                       # fallback to the train grid keeps every config sound)
 ) -> MarchResult:
+    if isinstance(bitfield, (tuple, list)):
+        bitfield, fine_bitfield = bitfield
+    else:
+        fine_bitfield = None
     H = grid_size
     H3 = H ** 3
     N = rays_o.shape[0]
@@ -299,7 +337,8 @@ def march_rays(
                 return _march_rays_hier(
                     rays_o, rays_d, t0, fars, bitfield, sup_bitfield, bound, H,
                     max_steps, num_samples, dt_min, dt_max, dt_gamma, cascade,
-                    g, min(max_groups, max_steps // g))
+                    g, min(max_groups, max_steps // g),
+                    fine_bitfield, fine_grid_size)
 
     ts = candidate_ts(t0, max_steps, dt_min, dt_max, dt_gamma)  # [N, K]
     dts = jnp.clip(ts * dt_gamma, dt_min, dt_max)
@@ -314,6 +353,9 @@ def march_rays(
     )
     flat = lvl * H3 + cell[..., 0] * (H * H) + cell[..., 1] * H + cell[..., 2]
     occ = occ_lookup(bitfield, flat)
+    if fine_bitfield is not None and fine_grid_size > 0:
+        occ = _fine_occ_and(occ, fine_bitfield, fine_grid_size, xyz, dts,
+                            mip_bound, lvl, cascade)
     mask = occ & in_range  # [N, K]
 
     # compact first S occupied candidates: top_k on (K - k) keeps ascending-k order

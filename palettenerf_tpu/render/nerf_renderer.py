@@ -62,6 +62,12 @@ class RenderSettings:
     # sigma 0 either way; valid samples past the budget are dropped, the same
     # overflow posture as the reference's sample buffer (raymarching.cu:419).
     compact_frac: float = 0.0
+    # eval-only finer culling grid (ops.occupancy.bake_fine_bitfield): when > 0
+    # the render fns expect bitfield=(train_bits, fine_bits) and the marcher
+    # tests the fine grid wherever dt <= fine cell edge (dt-aware fallback to
+    # the train grid everywhere else — sound for any max_steps). grid_size
+    # stays the TRAIN grid so dt_min/dt_max/mip semantics are unchanged.
+    fine_grid_size: int = 0
 
 
 def _sup(bitfield, settings: RenderSettings):
@@ -74,6 +80,8 @@ def _sup(bitfield, settings: RenderSettings):
     if settings.march_groups <= 0 or not super_bitfield_ok(
             settings.bound, settings.grid_size, settings.cascade):
         return None
+    if isinstance(bitfield, (tuple, list)):  # (train, fine): supermip from the
+        bitfield = bitfield[0]               # train grid — a superset of fine
     return build_super_bitfield(bitfield, settings.grid_size, settings.cascade)
 
 
@@ -164,6 +172,7 @@ def render_nerf_train(
         settings.bound, settings.cascade, settings.grid_size,
         settings.dt_gamma, settings.max_steps, settings.num_samples, noise,
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
+        fine_grid_size=settings.fine_grid_size,
     )
 
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
@@ -322,6 +331,7 @@ def render_nerf_eval_compact(
         settings.bound, settings.cascade, settings.grid_size,
         settings.dt_gamma, settings.max_steps, s_total, None,
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
+        fine_grid_size=settings.fine_grid_size,
     )
 
     image = jnp.zeros((n, 3), jnp.float32)
@@ -432,6 +442,7 @@ def render_nerf_eval(
         settings.bound, settings.cascade, settings.grid_size,
         settings.dt_gamma, settings.max_steps, settings.num_samples, None,
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
+        fine_grid_size=settings.fine_grid_size,
     )
     dirs = jnp.broadcast_to(rays_d[:, None, :], m.xyzs.shape)
     overflow = None

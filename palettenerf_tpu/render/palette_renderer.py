@@ -197,6 +197,7 @@ def render_palette_train(
         settings.grid_size, settings.dt_gamma, settings.max_steps,
         settings.num_samples, noise,
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
+        fine_grid_size=settings.fine_grid_size,
     )
     S = settings.num_samples
     xyzs = m.xyzs.reshape(-1, 3)
@@ -326,6 +327,7 @@ def render_palette_eval(
         settings.grid_size, settings.dt_gamma, settings.max_steps,
         settings.num_samples, None,
         sup_bitfield=_sup(bitfield, settings), max_groups=settings.march_groups,
+        fine_grid_size=settings.fine_grid_size,
     )
     S = settings.num_samples
     xyzs = m.xyzs.reshape(-1, 3)

@@ -301,6 +301,11 @@ class PaletteTrainer(Trainer):
 
         self._mark_untrained = jax.jit(mark, static_argnums=(2,))
 
+    def _field_density(self, params, pts):
+        from ..models.palette import palette_density
+
+        return palette_density(params, self.palette_spec, pts)["sigma"]
+
     def set_edit(self, edit: Optional[RegionEdit] = None,
                  stylizer: Optional[StylizerParams] = None,
                  offsets_weight: float = 1.0, view_dep_weight: float = 1.0):
@@ -328,6 +333,7 @@ class PaletteTrainer(Trainer):
     def initialize_palette(self, color_list=None, hist_weights=None):
         self.params = initialize_palette(self.params, self.palette_spec, color_list, hist_weights)
         self.ema_params = jax.tree_util.tree_map(jnp.array, self.params)
+        self._fine_bitfield = None
         self.opt_state = self.tx.init(self.params)
 
     def train(self, train_ds, valid_ds=None, max_epochs: int = 1):
@@ -578,6 +584,7 @@ class PaletteTrainer(Trainer):
         path = ckpt_lib.latest_checkpoint(ckpt_dir, "ngp")
         assert path is not None, f"no NeRF checkpoint under {ckpt_dir}"
         data = ckpt_lib.load_checkpoint(path)
+        self._fine_bitfield = None  # params/grid change below; rebake on next eval
         merged, missing, loaded = ckpt_lib.merge_params_non_strict(self.params, data["params"])
         self.params = jax.tree_util.tree_map(jnp.asarray, merged)
         self.ema_params = jax.tree_util.tree_map(jnp.array, self.params)

@@ -118,6 +118,12 @@ class Trainer:
         )
         s_inf = opt.infer_samples_per_ray
         rounds = self._compaction_rounds(s_inf)
+        # eval-only fine culling grid (bake_fine_bitfield): the marcher tests a
+        # finer bitfield baked lazily from the trained field at render time,
+        # with a dt-aware per-sample fallback to the train grid (grid_size and
+        # the dt schedule stay the train values — integration is unchanged)
+        fine = int(getattr(opt, "eval_fine_grid", 0))
+        self._fine_bitfield = None
         self.eval_settings = RenderSettings(
             bound=spec.bound, cascade=cascade, grid_size=opt.grid_size,
             dt_gamma=opt.dt_gamma, max_steps=opt.max_steps,
@@ -127,6 +133,7 @@ class Trainer:
             march_groups=self._march_groups(s_inf, exact=True),
             compact_frac=getattr(opt, "eval_compact_frac", 0.0),
             use_pallas_composite=getattr(opt, "use_pallas_composite", False),
+            fine_grid_size=fine,
         )
 
         # optimizer: Adam + per-step 0.1^(t/T) decay (main_nerf.py:141-151)
@@ -389,6 +396,37 @@ class Trainer:
     def eval_params(self):
         return self.ema_params if self.ema_decay is not None else self.params
 
+    # ------------------------------------------------------------------ fine eval grid
+
+    def _field_density(self, params, pts):
+        """Density query for grid bakes (PaletteTrainer overrides with the
+        palette field)."""
+        return nerf_density(params, self.spec, pts)["sigma"]
+
+    def _eval_bitfield(self):
+        """Bitfield for eval renders: the train grid, or (with
+        ``--eval_fine_grid``) the pair ``(train, fine)`` where ``fine`` is a
+        lazily-baked finer refinement of it (the marcher falls back to the
+        train grid per-sample wherever dt outruns the fine cell edge). The
+        cache is invalidated whenever params or the train grid change."""
+        fine = int(getattr(self.opt, "eval_fine_grid", 0))
+        if fine <= 0:
+            return self.grid_state.bitfield
+        if self._fine_bitfield is None:
+            from ..ops.occupancy import bake_fine_bitfield
+
+            params = self.eval_params()
+            t0 = time.time()
+            self._fine_bitfield = bake_fine_bitfield(
+                self.grid_state, partial(self._field_density, params),
+                bound=self.spec.bound, density_thresh=self.opt.density_thresh,
+                fine_size=fine, grid_size=self.opt.grid_size,
+            )
+            occ = int(np.unpackbits(np.asarray(self._fine_bitfield)).sum())
+            self.log(f"[INFO] baked {fine}^3 eval bitfield in "
+                     f"{time.time() - t0:.1f}s ({occ} occupied cells)")
+        return (self.grid_state.bitfield, self._fine_bitfield)
+
     def train(self, train_ds, valid_ds=None, max_epochs: int = 1):
         # frustum-cull never-seen cells once at start (nerf/utils.py:662-663)
         self.grid_state = self._mark_untrained(
@@ -402,10 +440,16 @@ class Trainer:
                 self.train_one_epoch_fast(train_ds)
             else:
                 self.train_one_epoch(train_ds)
+            self._fine_bitfield = None  # params/grid changed; rebake on next eval
             # A rolling save costs ~7 s through the axon tunnel (150 MB of
             # param/opt state readback) — amortize it over ckpt_interval
-            # epochs; crash recovery loses at most that many epochs.
-            ck_every = max(1, getattr(self.opt, "ckpt_interval", 1))
+            # epochs there; on local hosts a save is cheap, so the -1 default
+            # resolves to the reference's per-epoch cadence
+            # (nerf/utils.py:941). Crash recovery loses at most ck_every epochs.
+            ck_every = int(getattr(self.opt, "ckpt_interval", -1))
+            if ck_every < 0:
+                ck_every = 5 if jax.default_backend() == "axon" else 1
+            ck_every = max(1, ck_every)
             if self.epoch % ck_every == 0 or self.epoch == max_epochs:
                 self.save_checkpoint(best=False)
             if valid_ds is not None and self.epoch % self.eval_interval == 0:
@@ -457,6 +501,7 @@ class Trainer:
         outs = []
         bg = jnp.ones((3,), jnp.float32) if bg_color is None else jnp.asarray(bg_color)
         params = self.eval_params()
+        bitfield = self._eval_bitfield()
         pads = []
         for start in range(0, n, chunk):
             ro = rays_o[start:start + chunk]
@@ -465,7 +510,7 @@ class Trainer:
             if pad:
                 ro = np.concatenate([ro, np.tile(ro[-1:], (pad, 1))], 0)
                 rd = np.concatenate([rd, np.tile(rd[-1:], (pad, 1))], 0)
-            outs.append(self._eval_chunk(params, self.grid_state.bitfield,
+            outs.append(self._eval_chunk(params, bitfield,
                                          jnp.asarray(ro), jnp.asarray(rd), bg))
             pads.append(pad)
         overflow = sum(int(np.asarray(out.pop("compact_overflow"))[0])
@@ -749,6 +794,7 @@ class Trainer:
                 self.log("[INFO] no checkpoint found, starting fresh")
                 return
         data = ckpt_lib.load_checkpoint(path)
+        self._fine_bitfield = None  # params/grid change below; rebake on next eval
         merged, missing, _ = ckpt_lib.merge_params_non_strict(self.params, data["params"])
         if isinstance(merged, dict):
             # adopt state-only tensors absent from the fresh template (e.g. the frozen

@@ -26,19 +26,25 @@ rd = np.asarray(data["rays_d"]).reshape(-1, 3)
 H, W = data["H"], data["W"]
 print(f"frame {H}x{W} = {ro.shape[0]} rays", flush=True)
 
+# (name, eval_fine_grid, eval-settings overrides)
 variants = [
-    ("exact plain", dict(compaction_rounds=(), compact_frac=0.0)),
-    ("exact+compact3/8", dict(compaction_rounds=(), compact_frac=0.375)),
-    ("exact+compact1/4", dict(compaction_rounds=(), compact_frac=0.25)),
-    ("rounds(default)", dict(compact_frac=0.0)),
-    ("rounds+compact3/8", dict(compact_frac=0.375)),
+    ("exact plain", 0, dict(compaction_rounds=(), compact_frac=0.0)),
+    ("rounds(default)", 0, dict(compact_frac=0.0)),
+    ("rounds+compact3/8", 0, dict(compact_frac=0.375)),
+    ("fine256 plain", 256, dict(compaction_rounds=(), compact_frac=0.0)),
+    ("fine256+rounds", 256, dict(compact_frac=0.0)),
+    ("fine256+r+c1/8", 256, dict(compact_frac=0.125)),
+    ("fine256+r+c1/16", 256, dict(compact_frac=0.0625)),
+    ("fine512+r+c1/16", 512, dict(compact_frac=0.0625)),
 ]
 gold = None
 base_eval = tr.eval_settings
-for name, kw in variants:
-    tr.eval_settings = dataclasses.replace(base_eval, **kw)
+for name, fine, kw in variants:
+    tr.opt = dataclasses.replace(cfg, eval_fine_grid=fine)
+    tr._fine_bitfield = None
+    tr.eval_settings = dataclasses.replace(base_eval, fine_grid_size=fine, **kw)
     tr._build_jit_fns()
-    out = tr.render_image(ro, rd)          # compile + warm
+    out = tr.render_image(ro, rd)          # compile + warm (+ fine bake)
     t0 = time.perf_counter()
     out = tr.render_image(ro, rd)
     dt = time.perf_counter() - t0
