@@ -377,19 +377,52 @@ def _sweep_composite(
                 w_rgb = (om * wgt).sum(1)
                 return sigma, w_rgb, w_rgb, w_rgb
 
-            eb = list(edit_bases) if edit_bases is not None else slice(None)
-            dh = delta_hsv[None, eb, 0, None]
-            ds = delta_hsv[None, eb, 1, None]
-            dv = delta_hsv[None, eb, 2, None]
+            slice_d2 = (zk - uni[13]) ** 2
+            near_edit = (uni[16] <= 0) | (slice_d2 <= 6.9 * uni[17])
+
+            if edit_bases is not None:
+                # restricted edit in DELTA form: contract the UNEDITED palette
+                # (the work the plain sweep does anyway) and add the edited
+                # bases' weighted correction om_e * (edited - plain). Avoids
+                # re-materializing the full [Ucol, P, Urow] fr/fg/fb triple via
+                # .at[...].set scatters (3 copies x 2 passes per slice — the
+                # round-4 finding that a single-basis recolor still halved the
+                # frame rate) and keeps the edit_cull cond operands at the
+                # contracted [Ucol, Urow] size.
+                eb = list(edit_bases)
+                dh = delta_hsv[None, eb, 0, None]
+                ds = delta_hsv[None, eb, 1, None]
+                dv = delta_hsv[None, eb, 2, None]
+                fre, fge, fbe = fr[:, eb, :], fg[:, eb, :], fb[:, eb, :]
+                ome = om[:, eb, :]
+
+                def edit_delta(_):
+                    re, ge, be = _hsv_edit_planar(fre, fge, fbe, dh, ds, dv, wgt)
+                    return ((ome * (re - fre)).sum(1),
+                            (ome * (ge - fge)).sum(1),
+                            (ome * (be - fbe)).sum(1))
+
+                if edit_cull:
+                    def no_delta(_):
+                        z = jnp.zeros(fr.shape[:1] + fr.shape[2:], fr.dtype)
+                        return z, z, z
+
+                    d_r, d_g, d_b = jax.lax.cond(
+                        near_edit, edit_delta, no_delta, None)
+                else:
+                    d_r, d_g, d_b = edit_delta(None)
+                r, g, b = add_vd((om * fr).sum(1) + d_r,
+                                 (om * fg).sum(1) + d_g,
+                                 (om * fb).sum(1) + d_b)
+                return sigma, r, g, b
+
+            dh = delta_hsv[None, :, 0, None]
+            ds = delta_hsv[None, :, 1, None]
+            dv = delta_hsv[None, :, 2, None]
 
             def recolor(ops):
                 r0, g0, b0 = ops
-                re, ge, be = _hsv_edit_planar(
-                    r0[:, eb, :], g0[:, eb, :], b0[:, eb, :], dh, ds, dv, wgt)
-                if edit_bases is None:
-                    return re, ge, be
-                return (r0.at[:, eb, :].set(re), g0.at[:, eb, :].set(ge),
-                        b0.at[:, eb, :].set(be))
+                return _hsv_edit_planar(r0, g0, b0, dh, ds, dv, wgt)
 
             if edit_cull:
                 # per-slice edit culling (STATIC mode, enabled by render_sweep
@@ -401,8 +434,6 @@ def _sweep_composite(
                 def plain(ops):
                     return ops
 
-                slice_d2 = (zk - uni[13]) ** 2
-                near_edit = (uni[16] <= 0) | (slice_d2 <= 6.9 * uni[17])
                 fr, fg, fb = jax.lax.cond(near_edit, recolor, plain, (fr, fg, fb))
             else:
                 fr, fg, fb = recolor((fr, fg, fb))

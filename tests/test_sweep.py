@@ -268,6 +268,25 @@ def test_sweep_localized_edit_culling():
     assert np.abs(np.asarray(out["image"]) - np.asarray(base["image"])).max() > 5e-3
 
 
+def test_sweep_single_basis_localized_edit():
+    """Single touched basis AND tight spatial mask: exercises the restricted
+    delta-form edit (om_e * (edited - plain) added to the plain contraction)
+    together with the per-slice cull cond's zero-delta branch."""
+    baked = make_palette_baked()
+    sv = build_sweep_volume(baked)
+    pose = look_at_pose((0.0, 0.2, -2.6))
+    bc = np.array([[0.9, 0.2, 0.1], [0.1, 0.8, 0.3], [0.2, 0.3, 0.9], [0.8, 0.8, 0.2]])
+    edit = make_region_edit(P, clip_dim=1, mean_xyz=(0.15, 0.1, 0.0), std_xyz=0.05)
+    edit = edit._replace(delta_hsv=jnp.asarray(
+        [[0.0, 1.0, 1.0], [0.0, 1.0, 1.0], [140.0, 1.2, 0.7], [0.0, 1.0, 1.0]]))
+    out = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc, edit=edit)
+    ref_img, _ = reference_render(baked, pose, INTR, HW, HW, basis_color=bc, edit=edit)
+    p = _psnr(out["image"], ref_img)
+    assert p > 30.0, f"single-basis culled edit PSNR {p:.2f}"
+    base = render_sweep(sv, pose, INTR, HW, HW, u_res=160, basis_color=bc)
+    assert np.abs(np.asarray(out["image"]) - np.asarray(base["image"])).max() > 5e-3
+
+
 def test_sweep_neutral_edit_is_plain_render():
     """An edit whose deltas are all (0,1,1) must drop the HSV branch entirely
     and bit-match the no-edit render (edit_bases static pruning)."""
