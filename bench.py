@@ -55,6 +55,11 @@ def make_sweep_volume_ckpt(ws="results_palette/proc_toys/version_1", R=256,
 
     cands = sorted(glob.glob(os.path.join(ws, "checkpoints", "*.ckpt")))
     if not cands:
+        # committed deploy artifact (results*/ are gitignored; the deploy ckpt
+        # is the ema-only bf16 export of the same training state — see
+        # scripts/export_deploy_ckpt.py --deploy_dir)
+        cands = sorted(glob.glob("deploy/proc_toys/palette_*.ckpt"))
+    if not cands:
         return None
     payload = ckpt_lib.load_checkpoint(cands[-1])  # newest epoch (has grid_state)
     params = jax.tree_util.tree_map(jnp.asarray, payload["params"])

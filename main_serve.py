@@ -32,6 +32,11 @@ def find_checkpoint(path: str) -> str:
     if os.path.isfile(path):
         return path
     cands = sorted(glob.glob(os.path.join(path, "checkpoints", "*.ckpt")))
+    if not cands:
+        # committed deploy artifact (ema-only bf16 export of the training
+        # state — scripts/export_deploy_ckpt.py --deploy_dir); results*/ are
+        # gitignored, so a fresh clone serves from deploy/
+        cands = sorted(glob.glob(os.path.join(path, "palette_*.ckpt")))
     assert cands, f"no checkpoints under {path}"
     return cands[-1]
 

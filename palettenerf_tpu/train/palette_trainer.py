@@ -344,7 +344,11 @@ class PaletteTrainer(Trainer):
             self.epoch += 1
             self.lambda_weight = opt.lambda_weight * max(0.0, 1.0 - self.epoch / opt.lweight_decay_epoch)
             self.train_one_epoch(train_ds)
-            self.save_checkpoint(best=False)
+            # amortized rolling saves (the 600 MB palette state costs ~40 s
+            # per save through the tunnel — per-epoch saves added ~45% wall
+            # time to the round-5 product training run)
+            if self.epoch % self._ckpt_every() == 0 or self.epoch == max_epochs:
+                self.save_checkpoint(best=False)
             if valid_ds is not None and self.epoch % self.eval_interval == 0:
                 self.evaluate_one_epoch(valid_ds)
                 self.save_checkpoint(best=True)

@@ -427,6 +427,18 @@ class Trainer:
                      f"{time.time() - t0:.1f}s ({occ} occupied cells)")
         return (self.grid_state.bitfield, self._fine_bitfield)
 
+    def _ckpt_every(self) -> int:
+        """Rolling-save cadence in epochs. A save reads the full param/opt
+        state back through the axon tunnel (~7 s / 150 MB for stage 1, ~40 s /
+        600 MB for the palette model) — amortize it over ckpt_interval epochs
+        there; on local hosts a save is cheap, so the -1 default resolves to
+        the reference's per-epoch cadence (nerf/utils.py:941). Crash recovery
+        loses at most this many epochs."""
+        ck_every = int(getattr(self.opt, "ckpt_interval", -1))
+        if ck_every < 0:
+            ck_every = 5 if jax.default_backend() == "axon" else 1
+        return max(1, ck_every)
+
     def train(self, train_ds, valid_ds=None, max_epochs: int = 1):
         # frustum-cull never-seen cells once at start (nerf/utils.py:662-663)
         self.grid_state = self._mark_untrained(
@@ -441,16 +453,7 @@ class Trainer:
             else:
                 self.train_one_epoch(train_ds)
             self._fine_bitfield = None  # params/grid changed; rebake on next eval
-            # A rolling save costs ~7 s through the axon tunnel (150 MB of
-            # param/opt state readback) — amortize it over ckpt_interval
-            # epochs there; on local hosts a save is cheap, so the -1 default
-            # resolves to the reference's per-epoch cadence
-            # (nerf/utils.py:941). Crash recovery loses at most ck_every epochs.
-            ck_every = int(getattr(self.opt, "ckpt_interval", -1))
-            if ck_every < 0:
-                ck_every = 5 if jax.default_backend() == "axon" else 1
-            ck_every = max(1, ck_every)
-            if self.epoch % ck_every == 0 or self.epoch == max_epochs:
+            if self.epoch % self._ckpt_every() == 0 or self.epoch == max_epochs:
                 self.save_checkpoint(best=False)
             if valid_ds is not None and self.epoch % self.eval_interval == 0:
                 self.evaluate_one_epoch(valid_ds)
