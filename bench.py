@@ -191,10 +191,12 @@ def bench_single_basis_edit(sv, bc, H=800, W=800, u_res=448, n_frames=12):
 
 def bench_exact_eval(data_root="data_proc/proc_toys",
                      workspace="results/proc_toys/version_1",
-                     compact_frac=0.375):
+                     compact_frac=0.375, fine_grid=0):
     """Exact per-ray eval path: seconds per 800x800 test frame on the trained
     stage-1 checkpoint with the default compaction-rounds schedule + cross-ray
-    sample compaction (round-3 verdict #2 evidence; round-2 measured 82.8 s)."""
+    sample compaction (round-3 verdict #2 evidence; round-2 measured 82.8 s).
+    ``fine_grid > 0`` adds the dt-aware fine eval bitfield (exact-conservative;
+    the bake itself runs once and is excluded from the frame timing)."""
     import os
 
     if not (os.path.isdir(data_root) and os.path.isdir(workspace)):
@@ -208,21 +210,19 @@ def bench_exact_eval(data_root="data_proc/proc_toys",
 
     cfg = Config(path=data_root, O=True, fp16=True, cuda_ray=True, preload=True,
                  bound=1.0, scale=0.8, dt_gamma=0.0, min_near=0.05,
-                 bg_radius=0, test=True)
+                 bg_radius=0, test=True, eval_fine_grid=fine_grid,
+                 eval_compact_frac=compact_frac)
     spec = NeRFSpec.build(bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=True,
                           log2_hashmap_size=cfg.log2_hashmap_size,
                           grid_levels=cfg.grid_levels,
                           grid_level_dim=cfg.grid_level_dim)
     tr = Trainer("ngp", cfg, spec, workspace=workspace,
                  use_checkpoint="latest", mute=True)
-    tr.eval_settings = dataclasses.replace(tr.eval_settings,
-                                           compact_frac=compact_frac)
-    tr._build_jit_fns()
     ds = NeRFDataset(cfg, type="test")
     data = next(iter(ds.iter_epoch()))
     ro = np.asarray(data["rays_o"]).reshape(-1, 3)
     rd = np.asarray(data["rays_d"]).reshape(-1, 3)
-    tr.render_image(ro, rd)  # compile + warm
+    tr.render_image(ro, rd)  # compile + warm (+ fine bake when enabled)
     t0 = time.perf_counter()
     tr.render_image(ro, rd)
     return time.perf_counter() - t0
@@ -390,6 +390,13 @@ def sub_exact_eval():
     return {} if s is None else {"exact_eval_s_per_frame": round(s, 3)}
 
 
+def sub_exact_eval_fine():
+    # dt-aware fine-grid culling (exact-conservative): the round-5 exact-eval
+    # lever. compact_frac shrinks with the valid-sample fraction.
+    s = bench_exact_eval(compact_frac=0.125, fine_grid=256)
+    return {} if s is None else {"exact_eval_fine_s_per_frame": round(s, 3)}
+
+
 # name -> (fn, wall-clock budget seconds). Budgets are generous: device init
 # can take minutes through the tunnel and first compiles are 1-3 min.
 _SUBS = {
@@ -397,6 +404,7 @@ _SUBS = {
     "train": (sub_train, 900),
     "train_exact": (sub_train_exact, 1200),
     "exact_eval": (sub_exact_eval, 1500),
+    "exact_eval_fine": (sub_exact_eval_fine, 1500),
 }
 
 
