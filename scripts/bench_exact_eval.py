@@ -36,6 +36,11 @@ variants = [
     ("fine256+r+c1/8", 256, dict(compact_frac=0.125)),
     ("fine256+r+c1/16", 256, dict(compact_frac=0.0625)),
     ("fine512+r+c1/16", 512, dict(compact_frac=0.0625)),
+    ("fine512+r+c1/32", 512, dict(compact_frac=0.03125)),
+    # hierarchical 2-phase march on top (exact when <= Sg groups pass per ray;
+    # the PSNR-vs-golden column below is the empirical exactness check)
+    ("fine256+r+c1/8+h32", 256, dict(compact_frac=0.125, march_groups=32)),
+    ("fine512+r+c1/32+h32", 512, dict(compact_frac=0.03125, march_groups=32)),
 ]
 gold = None
 base_eval = tr.eval_settings
