@@ -246,7 +246,11 @@ def main(argv=None):
                                  metrics=[PSNRMeter(), LPIPSMeter(), RLPIPSMeter()],
                                  use_checkpoint=cfg.ckpt, nerf_path=nerf_path,
                                  ema_decay=0.95, eval_interval=cfg.eval_interval)
-        trainer.initialize_palette(extracted_palette, extracted_hist)
+        if trainer.global_step == 0:
+            # fresh run only — a resumed checkpoint already carries the
+            # initialized palette plus the Adam/EMA state that initialize_palette
+            # would reset (reference --continue_training semantics)
+            trainer.initialize_palette(extracted_palette, extracted_hist)
 
         train_ds = PaletteDataset(cfg, type="train")
         valid_ds = PaletteDataset(cfg, type="val", downscale=1)

@@ -340,6 +340,14 @@ class PaletteTrainer(Trainer):
         # density grid inherited frozen from the NeRF ckpt — NO update_extra_state
         # and NO mark_untrained (palette/utils.py:644-646, renderer has neither)
         opt = self.opt
+        # resume: re-derive the epoch-schedule state the end-of-epoch updates
+        # below would have left (a resumed epoch-55 run must not train one
+        # epoch with the pre-epoch-30 smooth-off graph)
+        if self.epoch >= opt.max_freeze_palette_epoch or not opt.use_initialization_from_rgbxy:
+            self.freeze_basis_color = False
+            self.lambda_palette = opt.lambda_palette
+        if self.epoch >= opt.smooth_loss_start_epoch:
+            self.require_smooth_loss = True
         for _ in range(max_epochs - self.epoch):
             self.epoch += 1
             self.lambda_weight = opt.lambda_weight * max(0.0, 1.0 - self.epoch / opt.lweight_decay_epoch)

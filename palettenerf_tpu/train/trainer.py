@@ -799,13 +799,20 @@ class Trainer:
         data = ckpt_lib.load_checkpoint(path)
         self._fine_bitfield = None  # params/grid change below; rebake on next eval
         merged, missing, _ = ckpt_lib.merge_params_non_strict(self.params, data["params"])
+        adopted = []
         if isinstance(merged, dict):
             # adopt state-only tensors absent from the fresh template (e.g. the frozen
             # hist_weights volume created by initialize_palette before training)
             for k, v in data["params"].items():
                 if k not in merged:
                     merged[k] = v
+                    adopted.append(k)
         self.params = jax.tree_util.tree_map(jnp.asarray, merged)
+        if adopted:
+            # the fresh opt/ema templates were built before the adoption; re-init
+            # the optimizer on the full tree so the ckpt opt_state's structure
+            # compare below sees matching leaves (palette resume: hist_weights)
+            self.opt_state = self.tx.init(self.params)
         if missing:
             self.log(f"[WARN] missing params in ckpt: {missing[:5]}...")
         if model_only:
@@ -816,6 +823,10 @@ class Trainer:
         self.stats = data.get("stats", self.stats)
         if "ema_params" in data:
             merged, _, _ = ckpt_lib.merge_params_non_strict(self.ema_params, data["ema_params"])
+            if isinstance(merged, dict):
+                for k, v in data["ema_params"].items():
+                    if k not in merged:
+                        merged[k] = v
             self.ema_params = jax.tree_util.tree_map(jnp.asarray, merged)
         else:
             self.ema_params = jax.tree_util.tree_map(jnp.array, self.params)
