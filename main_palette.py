@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extract_downscale", type=int, default=1,
                    help="render training views at 1/N resolution during palette "
                         "extraction (the RGBXY statistics are resolution-insensitive)")
+    p.add_argument("--extract_via_sweep", action="store_true",
+                   help="render extraction views with the baked shear-warp sweep "
+                        "(~60 fps; full-res extraction in seconds) instead of the "
+                        "exact per-ray path")
     p.add_argument("--use_normalized_palette", action="store_true")
     p.add_argument("--error_thres", type=float, default=5.0 / 255)
     p.add_argument("--update_grid", action="store_true")
@@ -207,7 +211,8 @@ def main(argv=None):
         loader = PaletteDataset(cfg, type="traintest", downscale=cfg.extract_downscale)
         pal_trainer.extract_palette(nerf_trainer, loader,
                                     normalize_input=cfg.use_normalized_palette,
-                                    save_path=palette_workspace)
+                                    save_path=palette_workspace,
+                                    via_sweep=cfg.extract_via_sweep)
         return
 
     spec = PaletteSpec.build(

@@ -92,6 +92,10 @@ class Config:
                                        # (reference nerf/renderer.py:336-386 semantics;
                                        #  ~3-4x faster full-frame renders, 35+ dB vs plain)
     extract_downscale: int = 1         # render training views at 1/N res for extraction
+    extract_via_sweep: bool = False    # render extraction views with the baked
+                                       # shear-warp sweep (~60 fps) instead of the
+                                       # exact per-ray path; the RGBXY stats only
+                                       # read the foreground mask + depth xyz
                                        # (palette statistics are resolution-insensitive)
     video: bool = False
     continue_training: bool = False

@@ -10,6 +10,31 @@ from __future__ import annotations
 import os
 
 
+def _host_fingerprint() -> str:
+    """Hash of the host CPU's feature flags.
+
+    The persistent cache stores XLA:CPU AOT executables whose cache key does
+    NOT include the host machine features — after a VM migration to a
+    different CPU model, stale entries load with only an E-level
+    ``cpu_aot_loader`` log and can produce silently WRONG results (observed:
+    an eval render whose weights_sum collapsed to ~0 under a stale cache and
+    was correct with a cold one). Namespacing the cache dir by the feature
+    set makes a new host start cold instead."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1((platform.machine() + feats).encode()).hexdigest()[:10]
+
+
 def setup_jax(cache_dir: str | None = None):
     import jax
 
@@ -24,7 +49,8 @@ def setup_jax(cache_dir: str | None = None):
             pass
 
     cache_dir = cache_dir or os.environ.get(
-        "PALETTENERF_JAX_CACHE", os.path.join("/tmp", "palettenerf_jax_cache")
+        "PALETTENERF_JAX_CACHE",
+        os.path.join("/tmp", f"palettenerf_jax_cache-{_host_fingerprint()}"),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
