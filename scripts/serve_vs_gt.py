@@ -43,10 +43,12 @@ ds = NeRFDataset(cfg, type="test")
 from palettenerf_tpu.render.nerf_renderer import RenderSettings
 from palettenerf_tpu.render.palette_renderer import render_palette_eval
 
+bf = np.asarray(gs["bitfield"])
+G = round(np.asarray(gs["density_grid"]).shape[-1] ** (1 / 3) + 1e-6)
 eset = RenderSettings(bound=1.0, cascade=1, grid_size=G, dt_gamma=0.0,
                       max_steps=512, num_samples=192, t_thresh=1e-2,
                       min_near=0.05, march_groups=48, compact_frac=0.375)
-bitfield = jnp.asarray(bf)
+bitfield = jnp.asarray(bf[: G ** 3 // 8])
 
 @jax.jit
 def exact_chunk(ro, rd):
