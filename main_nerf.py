@@ -105,9 +105,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_compact_frac", type=float, default=0.0,
                    help="train-step sample compaction budget (opt-in; overflow "
                         "drops samples from the gradient)")
-    p.add_argument("--use_pallas_composite", action="store_true",
-                   help="fused Pallas compositor on the eval path (experimental; "
-                        "TPU only)")
     return p
 
 

@@ -158,7 +158,6 @@ class Config:
                                        # field evals (0 = off; 0.375 typical)
     train_compact_frac: float = 0.0    # same for the train step (opt-in: overflow
                                        # drops samples from the gradient)
-    use_pallas_composite: bool = False  # fused Pallas eval compositor (experimental)
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel device mesh ("dp",)
     n_devices: int = 1                  # DP: shard the ray batch over this many chips
     ema_decay: float = 0.95

@@ -51,8 +51,6 @@ class RenderSettings:
     # analog of the reference's alive-ray loop (nerf/renderer.py:349-380): most rays
     # saturate early, so later rounds march only the top 1/divisor surviving rays.
     compaction_rounds: tuple = ()
-    # fused Pallas compositor on the eval path (forward-only; TPU backend only)
-    use_pallas_composite: bool = False
     # hierarchical 2-phase occupancy march: group slots for the coarse pass
     # (0 = flat per-candidate tests; see ops/march.py build_super_bitfield)
     march_groups: int = 0
@@ -460,14 +458,7 @@ def render_nerf_eval(
     sigmas = sigmas.reshape(n, -1) * settings.density_scale
     rgbs = rgbs.reshape(n, -1, 3)
 
-    if settings.use_pallas_composite:
-        from ..ops.pallas_composite import composite_rays_pallas
-
-        ws, depth, image = composite_rays_pallas(
-            sigmas, rgbs, m.dts, m.t_cum, m.mask, t_thresh=settings.t_thresh,
-            interpret=jax.default_backend() != "tpu")
-    else:
-        ws, depth, image = composite_rays(sigmas, rgbs, m.dts, m.t_cum, m.mask, settings.t_thresh)
+    ws, depth, image = composite_rays(sigmas, rgbs, m.dts, m.t_cum, m.mask, settings.t_thresh)
     image = image + (1.0 - ws)[:, None] * bg
     # inference depth is ABSOLUTE in the reference (rays_t starts at nears,
     # raymarching.cu:1078-1079); t_cum is relative to t0 ~= nears

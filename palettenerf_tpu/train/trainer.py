@@ -132,7 +132,6 @@ class Trainer:
             compaction_rounds=rounds,
             march_groups=self._march_groups(s_inf, exact=True),
             compact_frac=getattr(opt, "eval_compact_frac", 0.0),
-            use_pallas_composite=getattr(opt, "use_pallas_composite", False),
             fine_grid_size=fine,
         )
 

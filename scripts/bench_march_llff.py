@@ -51,7 +51,8 @@ def run(bound, cascade, dt_gamma, K=1024, S=64, N=4096, G=128, groups=64):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o = np.tile(np.asarray([[0.0, 0.0, -0.9 * bound]]), (N, 1))
     rays_o, rays_d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
-    nears, fars = near_far_from_aabb(rays_o, rays_d, bound, 0.05)
+    aabb = jnp.asarray([-bound] * 3 + [bound] * 3, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
 
     def march(use_sup: bool):
         return jax.jit(lambda ro, rd, nr, fr: march_rays(

@@ -108,22 +108,6 @@ def test_train_compact_grad_parity():
                                    rtol=5e-4, atol=1e-6, err_msg=str(path))
 
 
-def test_eval_pallas_composite_matches_plain():
-    """--use_pallas_composite eval path (interpret off-TPU) vs the jnp composite."""
-    import dataclasses
-
-    spec, params, bitfield, G, ro, rd = _scene()
-    base = RenderSettings(bound=1.0, cascade=1, grid_size=G, dt_gamma=0.0,
-                          max_steps=128, num_samples=64, t_thresh=1e-4,
-                          min_near=0.2)
-    plain = render_nerf_eval(params, spec, bitfield, ro, rd, base)
-    pall = render_nerf_eval(params, spec, bitfield, ro, rd,
-                            dataclasses.replace(base, use_pallas_composite=True))
-    for k in ("image", "depth", "weights_sum"):
-        np.testing.assert_allclose(np.asarray(pall[k]), np.asarray(plain[k]),
-                                   rtol=2e-4, atol=2e-5, err_msg=k)
-
-
 def test_compact_overflow_count_surfaced():
     """An undersized compact budget must surface the dropped-valid-sample count
     (advisor round-3: silent drops darken renders with no diagnostic)."""
