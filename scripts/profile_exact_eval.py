@@ -1,105 +1,143 @@
-"""Stage-level timing of the exact eval path at real chunk shapes.
+"""Stage breakdown of the exact per-ray eval frame (verdict round-4 item 3).
 
-Times (on the attached chip) each stage of render_nerf_eval in isolation at the
-render_image chunk shape (16384 rays), so optimization effort goes where the
-frame time actually is: the candidate march (incl. its top_k compaction), the
-field eval (hash encode + MLPs), and the composite. Timing rule: N reps, one
-trailing scalar readback (tunnel: block_until_ready does not sync).
+Times the components of one 16384-ray eval chunk on the trained stage-1
+checkpoint — march (flat, fine-grid culled), the field eval at the compacted
+batch sizes, the full jitted chunk, and full-frame variants — so the next
+optimization targets the measured bottleneck instead of the assumed one.
+
+Run on the attached chip:  python scripts/profile_exact_eval.py
 """
-import sys, time
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
 import numpy as np
-sys.path.insert(0, ".")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from palettenerf_tpu.utils.jax_setup import setup_jax
+
 setup_jax()
 
 import jax
 import jax.numpy as jnp
 
-from palettenerf_tpu.config import Config
-from palettenerf_tpu.data.provider import NeRFDataset
-from palettenerf_tpu.models.nerf import NeRFSpec, nerf_forward
-from palettenerf_tpu.ops.march import march_rays
-from palettenerf_tpu.ops.composite import composite_rays
-from palettenerf_tpu.ops.rays import near_far_from_aabb
-from palettenerf_tpu.train.trainer import Trainer
-
-CHUNK = 16384
-S = 192
-
-cfg = Config(path="data_proc/proc_toys", O=True, fp16=True, cuda_ray=True,
-             preload=True, bound=1.0, scale=0.8, dt_gamma=0.0, min_near=0.05,
-             bg_radius=0, test=True)
-spec = NeRFSpec.build(bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=True,
-                      log2_hashmap_size=cfg.log2_hashmap_size,
-                      grid_levels=cfg.grid_levels,
-                      grid_level_dim=cfg.grid_level_dim)
-tr = Trainer("ngp", cfg, spec, workspace="results/proc_toys/version_1",
-             use_checkpoint="latest", mute=True)
-params = tr.eval_params()
-ds = NeRFDataset(cfg, type="test")
-data = next(iter(ds.iter_epoch()))
-ro = jnp.asarray(np.asarray(data["rays_o"]).reshape(-1, 3)[:CHUNK])
-rd = jnp.asarray(np.asarray(data["rays_d"]).reshape(-1, 3)[:CHUNK])
-aabb = jnp.asarray([-1., -1., -1., 1., 1., 1.], jnp.float32)
-nears, fars = near_far_from_aabb(ro, rd, aabb, cfg.min_near)
+DATA = "data_proc/proc_toys"
+WS = "results/proc_toys/version_1"
 
 
-def timeit(name, fn, *args, reps=8):
+def sync(x):
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
+
+
+def time_fn(fn, *args, reps=8):
     out = fn(*args)
-    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # compile+sync
+    sync(out)
     t0 = time.perf_counter()
-    for _i in range(reps):
+    for _ in range(reps):
         out = fn(*args)
-    _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    dt = (time.perf_counter() - t0) / reps * 1e3
-    print(f"{name:34s}: {dt:8.2f} ms", flush=True)
-    return out
+    sync(out)
+    return (time.perf_counter() - t0) / reps * 1000
 
 
-for gname, fine in (("train128", 0), ("fine256", 256)):
-    if fine:
-        tr.opt = cfg.replace(eval_fine_grid=fine)
-        tr._fine_bitfield = None
-    bf = tr._eval_bitfield()  # train bits, or (train, fine) pair
-    print(f"--- grid {gname} ---", flush=True)
+def main():
+    import dataclasses
 
-    march_j = jax.jit(lambda ro, rd, nears, fars, bf: march_rays(
-        ro, rd, nears, fars, bf, 1.0, 1, 128, 0.0, 512, S, None,
-        fine_grid_size=fine))
-    m = timeit(f"march 512cand->{S} ({gname})", march_j, ro, rd, nears, fars, bf)
-    nvalid = int(m.mask.sum())
-    print(f"  valid samples: {nvalid} ({nvalid / CHUNK:.1f}/ray)", flush=True)
+    from palettenerf_tpu.config import Config
+    from palettenerf_tpu.data.provider import NeRFDataset
+    from palettenerf_tpu.models.nerf import NeRFSpec, nerf_forward
+    from palettenerf_tpu.ops.march import march_rays
+    from palettenerf_tpu.ops.rays import near_far_from_aabb
+    from palettenerf_tpu.train.trainer import Trainer
 
-    # march WITHOUT the top_k slot compaction (occupancy test only) — isolates
-    # the top_k cost inside the march
-    def march_notopk(ro, rd, nears, fars, bf):
-        from palettenerf_tpu.ops.march import SQRT3, candidate_ts, _fine_occ_and
-        from palettenerf_tpu.ops.occupancy import occ_lookup
-        bf, fine_bf = bf if isinstance(bf, tuple) else (bf, None)
-        dt_min = 2.0 * SQRT3 / 512
-        ts = candidate_ts(nears, 512, dt_min, 2.0 * SQRT3 / 128, 0.0)
-        xyz = jnp.clip(ro[:, None, :] + ts[..., None] * rd[:, None, :], -1, 1)
-        cell = jnp.clip((0.5 * (xyz + 1.0) * 128).astype(jnp.int32), 0, 127)
-        flat = cell[..., 0] * 128 * 128 + cell[..., 1] * 128 + cell[..., 2]
-        occ = occ_lookup(bf, flat)
-        if fine_bf is not None:
-            occ = _fine_occ_and(occ, fine_bf, fine, xyz,
-                                jnp.full_like(ts, dt_min), 1.0, None, 1)
-        return occ & (ts < fars[:, None])
+    fine = int(os.environ.get("FINE", "256"))
+    cfrac = float(os.environ.get("CFRAC", "0.125"))
+    cfg = Config(path=DATA, O=True, fp16=True, cuda_ray=True, preload=True,
+                 bound=1.0, scale=0.8, dt_gamma=0.0, min_near=0.05,
+                 bg_radius=0, test=True, eval_fine_grid=fine,
+                 eval_compact_frac=cfrac)
+    spec = NeRFSpec.build(bound=cfg.bound, bg_radius=cfg.bg_radius, fp16=True,
+                          log2_hashmap_size=cfg.log2_hashmap_size,
+                          grid_levels=cfg.grid_levels,
+                          grid_level_dim=cfg.grid_level_dim)
+    tr = Trainer("ngp", cfg, spec, workspace=WS, use_checkpoint="latest",
+                 mute=True)
+    ds = NeRFDataset(cfg, type="test")
+    data = next(iter(ds.iter_epoch()))
+    ro_f = np.asarray(data["rays_o"]).reshape(-1, 3)
+    rd_f = np.asarray(data["rays_d"]).reshape(-1, 3)
 
-    timeit(f"march no-topk ({gname})", jax.jit(march_notopk),
-           ro, rd, nears, fars, bf)
+    # full frame (this is the bench_exact_eval number)
+    t0 = time.perf_counter()
+    tr.render_image(ro_f, rd_f)
+    print(f"frame (cold, compile+fine-bake): {time.perf_counter() - t0:.1f} s",
+          flush=True)
+    t0 = time.perf_counter()
+    tr.render_image(ro_f, rd_f)
+    full_s = time.perf_counter() - t0
+    print(f"frame (warm): {full_s:.2f} s  "
+          f"[fine={fine} cfrac={cfrac}]", flush=True)
 
-    fwd = jax.jit(lambda p, x, d: nerf_forward(p, spec, x, d))
-    dirs = jnp.broadcast_to(rd[:, None, :], m.xyzs.shape)
-    timeit(f"field eval {CHUNK}x{S}", fwd, params,
-           m.xyzs.reshape(-1, 3), dirs.reshape(-1, 3))
-    for B in (1 << 18, 1 << 17, 1 << 16):
-        timeit(f"field eval compact {B}", fwd, params,
-               m.xyzs.reshape(-1, 3)[:B], dirs.reshape(-1, 3)[:B])
+    # one jitted chunk (what render_image dispatches 40x)
+    params = tr.eval_params()
+    bitfield = tr._eval_bitfield()
+    ro = jnp.asarray(ro_f[:16384])
+    rd = jnp.asarray(rd_f[:16384])
+    bg = jnp.ones((3,), jnp.float32)
+    ms = time_fn(lambda: tr._eval_chunk(params, bitfield, ro, rd, bg))
+    print(f"eval_chunk [16384 rays]: {ms:.1f} ms  (x40 chunks = "
+          f"{ms * 40 / 1000:.2f} s dispatch-side)", flush=True)
 
-    sig = jnp.where(m.mask, 5.0, 0.0)
-    rgbv = jnp.ones(m.xyzs.shape, jnp.float32) * 0.5
-    timeit("composite", jax.jit(lambda s, r: composite_rays(
-        s, r, m.dts, m.t_cum, m.mask, 1e-2)), sig, rgbv)
+    # march only (flat, fine-culled), identical call to render_nerf_eval_compact's
+    s = tr.eval_settings
+    aabb = jnp.asarray([-s.bound] * 3 + [s.bound] * 3, jnp.float32)
 
+    @jax.jit
+    def march_only(ro, rd):
+        nears, fars = near_far_from_aabb(ro, rd, aabb, s.min_near)
+        s_total = sum(r for _, r in s.compaction_rounds) or s.num_samples
+        m = march_rays(ro, rd, nears, fars, bitfield, s.bound, s.cascade,
+                       s.grid_size, s.dt_gamma, s.max_steps, s_total, None,
+                       fine_grid_size=s.fine_grid_size)
+        return m.xyzs.sum() + m.mask.sum()
+
+    ms = time_fn(march_only, ro, rd)
+    print(f"march-only [16384 x K={s.max_steps} -> "
+          f"{sum(r for _, r in s.compaction_rounds) or s.num_samples} slots]: "
+          f"{ms:.1f} ms  (x40 = {ms * 40 / 1000:.2f} s)", flush=True)
+
+    # field eval at the compacted batch sizes seen per chunk
+    nf = jax.jit(lambda x, d: nerf_forward(params, spec, x, d)[0].sum())
+    for batch in (32768, 131072, 262144):
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (batch, 3)),
+                        jnp.float32)
+        d = jnp.asarray(np.random.default_rng(1).normal(size=(batch, 3)),
+                        jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        ms = time_fn(nf, x, d)
+        print(f"nerf_forward [{batch}]: {ms:.1f} ms "
+              f"({batch / ms * 1e-3:.1f}M samples/s)", flush=True)
+
+    # full-frame variants: no alive-ray rounds; bigger chunk
+    for label, eset_kw, chunk in (
+        ("no-compaction-rounds", {"compaction_rounds": ()}, 16384),
+        ("chunk=65536", {}, 65536),
+        ("chunk=65536 no-rounds", {"compaction_rounds": ()}, 65536),
+    ):
+        eset = dataclasses.replace(tr.eval_settings, **eset_kw)
+        tr.eval_settings = eset
+        tr._build_jit_fns()
+        t0 = time.perf_counter()
+        tr.render_image(ro_f, rd_f, chunk=chunk)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tr.render_image(ro_f, rd_f, chunk=chunk)
+        print(f"frame variant [{label}]: {time.perf_counter() - t0:.2f} s "
+              f"(cold {cold:.1f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
