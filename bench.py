@@ -3,12 +3,14 @@
 Headline metric (BASELINE.md): 800x800 **palette-edited** rendering FPS on the
 attached chip, with an ACTIVE RegionEdit (spatial gaussian mask + per-basis hue
 shift) — the serving path a PaletteNeRF user actually runs. Rendered by the
-shear-warp sweep renderer (render/sweep.py) from a baked palette volume
-(R=256, P=6, sphere-shaped occupancy ~ a converged Blender scene). Intermediate-plane
-resolution u_res=448 for the 800px output: the R=256 volume is the detail
-limit (measured 45.16 dB vs a 384-sample per-ray golden at u448 vs 45.28 dB
-at u512 and 45.25 dB at u640 — the sweep resample is not the bottleneck).
-``vs_baseline`` = measured_fps / 30.
+shear-warp sweep renderer (render/sweep.py) from the TRAINED proc_toys palette
+checkpoint, baked at R=256 with vd_bands=2 view-dep SH (measured 46.6 dB vs the
+vd3 bake render — view-dep is negligible on this scene — and vd3's 27 SH
+channels halved the frame rate). Intermediate-plane resolution u_res=400 for
+the 800px output: the R=256 bake is the detail limit (u400 render measures
+47.2 dB against the u448 render, while the sweep-vs-exact gap is 29.4 dB —
+README serve-fidelity row — so the resample noise is ~2 orders below the
+bake's). ``vs_baseline`` = measured_fps / 30.
 
 Secondary keys: plain NeRF sweep FPS and stage-1 train throughput (scanned fast
 path, 4096 rays x 64 samples — the reference's default batch).
@@ -37,7 +39,7 @@ def look_at(eye):
 
 
 def make_sweep_volume_ckpt(ws="results_palette/proc_toys/version_1", R=256,
-                           vd_bands=3):
+                           vd_bands=2):
     """Bake the committed acceptance-scene checkpoint — the real product path
     (trained field -> bake -> bitfield mask -> sweep volume), so the headline
     fps reflects a real occupancy/statistics distribution, not a synthetic
@@ -99,7 +101,7 @@ def make_sweep_volume(R=256, P=6):
     return build_sweep_volume(baked)
 
 
-def bench_palette_edit(sv, H=800, W=800, u_res=448, n_frames=15, reps=4, bc=None):
+def bench_palette_edit(sv, H=800, W=800, u_res=400, n_frames=15, reps=4, bc=None):
     import jax.numpy as jnp
 
     from palettenerf_tpu.render.palette_renderer import make_region_edit
@@ -137,7 +139,7 @@ def bench_palette_edit(sv, H=800, W=800, u_res=448, n_frames=15, reps=4, bc=None
     return 1.0 / best
 
 
-def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=448, n_frames=10):
+def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=400, n_frames=10):
     from palettenerf_tpu.render.sweep import render_sweep
 
     intr = (H * 0.9, H * 0.9, W / 2, H / 2)
@@ -155,7 +157,7 @@ def bench_nerf_sweep(sv_nerf, H=800, W=800, u_res=448, n_frames=10):
     return n_frames / (time.perf_counter() - t0)
 
 
-def bench_single_basis_edit(sv, bc, H=800, W=800, u_res=448, n_frames=12):
+def bench_single_basis_edit(sv, bc, H=800, W=800, u_res=400, n_frames=12):
     """Worst-case global recolor is the headline; this measures a SINGLE-basis
     recolor, where the static per-basis HSV restriction (render/sweep.py
     edit_bases) should land near the plain no-edit fps (round-3 verdict #4)."""
@@ -351,28 +353,37 @@ def sub_sweep():
     result["vs_baseline"] = round(fps / 30.0, 4)
     result["rays_per_sec"] = round(800 * 800 * fps)
 
+    try:
+        result["single_basis_edit_fps"] = round(
+            bench_single_basis_edit(sv, bc), 3)
+        _log("single-basis edit bench done")
+    except Exception as e:  # secondary metric must not kill the headline
+        result["single_basis_edit_error"] = str(e)[:120]
+
     def _nerf_sweep(sv):
         from palettenerf_tpu.render.baking import BakedVolume
         from palettenerf_tpu.render.sweep import build_sweep_volume
         import jax.numpy as jnp
         R = sv.resolution
-        # reuse density from the palette volume's first axis copy (channel 0)
-        dens = sv.vols[0][:, :, 0, :].astype(jnp.float32)  # [Z,X,C,Y] channel 0
+        # reuse density from the palette volume's first axis copy (channel 0),
+        # then FREE the palette volume — the nerf sweep is latency-bound and
+        # measures ~45% slower with the palette volume still resident in HBM
+        # (round-5 probes: 63 fps clean vs 43 contaminated)
+        dens = jnp.asarray(sv.vols[0][:, :, 0, :], jnp.float32)  # [Z,X,C,Y] ch 0
+        for v in sv.vols:
+            v.delete()
         baked_n = BakedVolume(R, 1.0, dens, jnp.zeros((R, R, R, 3)) + 0.5,
                               None, None, None)
-        return bench_nerf_sweep(build_sweep_volume(baked_n))
+        svn = build_sweep_volume(baked_n)
+        dens.delete()
+        return bench_nerf_sweep(svn)
 
     try:
         result["nerf_sweep_fps"] = round(_nerf_sweep(sv), 3)
         _log("nerf sweep done")
-    except Exception as e:  # secondary metric must not kill the headline
-        result["nerf_sweep_error"] = str(e)[:120]
-    try:
-        result["single_basis_edit_fps"] = round(
-            bench_single_basis_edit(sv, bc), 3)
-        _log("single-basis edit bench done")
     except Exception as e:
-        result["single_basis_edit_error"] = str(e)[:120]
+        result["nerf_sweep_error"] = str(e)[:120]
+    del sv
     return result
 
 

@@ -54,7 +54,10 @@ def main():
     ap.add_argument("--resolution", type=int, default=256, help="bake grid resolution")
     ap.add_argument("--W", type=int, default=800)
     ap.add_argument("--H", type=int, default=800)
-    ap.add_argument("--u_res", type=int, default=448)
+    ap.add_argument("--u_res", type=int, default=400,
+                    help="intermediate sweep grid (round-5 measured: 47 dB vs "
+                         "u448 on the trained bake; the R=256 bake is the "
+                         "detail limit)")
     ap.add_argument("--radius", type=float, default=2.35)
     ap.add_argument("--fovy", type=float, default=50.0)
     ap.add_argument("--n_frames", type=int, default=60)
@@ -68,7 +71,7 @@ def main():
     ap.add_argument("--edit_std", type=float, default=0.3)
     ap.add_argument("--density_thresh", type=float, default=1.0,
                     help="bake-time sigma floor for slice occupancy")
-    ap.add_argument("--vd_bands", type=int, default=3,
+    ap.add_argument("--vd_bands", type=int, default=2,
                     help="SH bands for baked view-dependent color (0 = diffuse only)")
     ap.add_argument("--view_dep_weight", type=float, default=1.0,
                     help="scale of the baked view-dependent channel (eval dial)")

@@ -210,9 +210,13 @@ def _hsv_edit_planar(r, g, b, dh, ds, dv, wgt):
     cmin = jnp.minimum(jnp.minimum(r, g), b)
     diff = cmax - cmin
     safe = jnp.where(diff == 0, 1.0, diff)
+    # range-limited mods as single selects (a jnp.mod is div+floor+mul+sub on
+    # the VPU; these run on [U, P, U] planes in the frame's hot loop):
+    # 60*(g-b)/safe is in [-60, 60], so mod 360 == +360 when negative
+    t_r = 60.0 * (g - b) / safe
     h = jnp.where(
         diff == 0, 0.0,
-        jnp.where(cmax == r, jnp.mod(60.0 * (g - b) / safe + 360.0, 360.0),
+        jnp.where(cmax == r, jnp.where(t_r < 0, t_r + 360.0, t_r),
                   jnp.where(cmax == g, 60.0 * (b - r) / safe + 120.0,
                             60.0 * (r - g) / safe + 240.0)))
     s = jnp.clip(jnp.where(cmax == 0, 0.0, diff / jnp.where(cmax == 0, 1.0, cmax)) * ds,
@@ -220,12 +224,17 @@ def _hsv_edit_planar(r, g, b, dh, ds, dv, wgt):
     v = jnp.clip(cmax * dv, 0.0, None)
 
     # hsv->rgb via the K-function form (fewer VPU slots than the 6-way select):
-    # chan(n) = v - v*s*clamp(min(k, 4-k), 0, 1), k = (n + h/60) mod 6
-    h2 = jnp.mod(h + dh, 360.0) * (1.0 / 60.0)
+    # chan(n) = v - v*s*clamp(min(k, 4-k), 0, 1), k = (n + h/60) mod 6.
+    # dh is a tiny [1, P, 1] constant — mod it once there so h + dh_n lands in
+    # [0, 720) and the big-plane mod reduces to one select.
+    dh_n = jnp.mod(dh, 360.0)
+    h2 = h + dh_n
+    h2 = jnp.where(h2 >= 360.0, h2 - 360.0, h2) * (1.0 / 60.0)
     vs = v * s
 
     def chan(n):
-        k = jnp.mod(n + h2, 6.0)
+        k = n + h2                       # [n, n+6) for n in {1, 3, 5}
+        k = jnp.where(k >= 6.0, k - 6.0, k)
         return v - vs * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
 
     r2, g2, b2 = chan(5.0), chan(3.0), chan(1.0)
@@ -246,7 +255,8 @@ _UNI_LEN = 28
 
 @partial(jax.jit, static_argnames=(
     "num_basis", "u_res", "t_thresh", "weight_mode", "has_edit", "edit_cull",
-    "skip", "unroll", "vd_bands", "has_style", "has_mask", "edit_bases"))
+    "skip", "unroll", "vd_bands", "has_style", "has_mask", "edit_bases",
+    "shade_bf16"))
 def _sweep_composite(
     vol,            # [Z, X, C, Y] bf16
     occ,            # [Z] bool
@@ -273,6 +283,12 @@ def _sweep_composite(
     # unedited bases' HSV round-trip is the identity, so restricting the ~35-op
     # chain to the touched bases is exact and cuts the worst-case (global
     # recolor) edit cost by P/|edited|
+    shade_bf16: bool = False,  # run the per-sample shade (palette blend + HSV
+    # recolor + SH view-dep) in bf16: the palette sweep is VPU-bound in the
+    # shade chain (~110 us/slice over the C=4 sweep, round-5 probe), and bf16
+    # doubles VPU throughput + halves the matmul-output writes. Compositing
+    # (alpha/transmittance/accumulators) stays f32. Colors live in [0,1] so the
+    # 8-bit mantissa costs ~0.4% rel — measured >=45 dB vs the f32 sweep.
 ):
     """Front-to-back sweep over slices; returns intermediate maps
     [U, U, 5] = (rgb, depth_abs, weights_sum), rows = grid-y, cols = grid-x.
@@ -284,6 +300,7 @@ def _sweep_composite(
     Z, X, C, Y = vol.shape
     U = u_res
     P = num_basis
+    fdt = jnp.bfloat16 if shade_bf16 else jnp.float32
     o_p = uni[0:3]
     gx0, gdx, gy0, gdy, z_ref = (uni[3 + i] for i in range(5))
     offsets_weight, density_scale = uni[9], uni[10]
@@ -314,12 +331,13 @@ def _sweep_composite(
         dp = dp / jnp.linalg.norm(dp, axis=-1, keepdims=True)
         w_from_p = uni[19:28].reshape(3, 3)
         dw = jnp.einsum("ij,uvj->uvi", w_from_p, dp)
-        Ysh = jnp.moveaxis(sh_encode(dw, vd_bands), -1, 1)         # [Ucol, B, Urow]
-        vdw = uni[18]
+        Ysh = jnp.moveaxis(sh_encode(dw, vd_bands), -1, 1).astype(fdt)  # [Ucol,B,Urow]
+        vdw = uni[18].astype(fdt)
 
     def shade(feat, lam, zk, mask_uv):
-        """feat [Ucol, C, Urow] -> sigma, r, g, b each [Ucol, Urow]."""
-        sigma = feat[:, 0, :] * density_scale
+        """feat [Ucol, C, Urow] (dtype fdt) -> sigma f32, r/g/b fdt [Ucol, Urow]."""
+        sigma = feat[:, 0, :].astype(jnp.float32) * density_scale
+        ow = offsets_weight.astype(fdt)
 
         def add_vd(r, g, b):
             if not vd_bands:
@@ -336,30 +354,32 @@ def _sweep_composite(
         off_r = feat[:, 1 + P:1 + 2 * P, :]
         off_g = feat[:, 1 + 2 * P:1 + 3 * P, :]
         off_b = feat[:, 1 + 3 * P:1 + 4 * P, :]
-        srad = jax.nn.softplus(feat[:, 1 + 4 * P, :])[:, None, :]  # [Ucol, 1, Urow]
-        bc = jnp.clip(basis_color, 0.0, 1.0)
+        srad = jax.nn.softplus(feat[:, 1 + 4 * P, :].astype(jnp.float32)
+                               )[:, None, :].astype(fdt)            # [Ucol, 1, Urow]
+        bc = jnp.clip(basis_color, 0.0, 1.0).astype(fdt)
         if has_style:
             # Stylizer (palette/renderer.py:166-183): intensity offsets, palette
             # offsets, and a 3x3 per-basis transform of the offsets, with the
             # product clipped to [0,1] as in the reference
-            srad = jnp.clip(srad + sty_dI[None, :, None], 0.0, None)
-            bc = bc + sty_dP
-            o_r = offsets_weight * off_r
-            o_g = offsets_weight * off_g
-            o_b = offsets_weight * off_b
-            t_r = (o_r * sty_dd[None, :, 0, 0, None] + o_g * sty_dd[None, :, 1, 0, None]
-                   + o_b * sty_dd[None, :, 2, 0, None])
-            t_g = (o_r * sty_dd[None, :, 0, 1, None] + o_g * sty_dd[None, :, 1, 1, None]
-                   + o_b * sty_dd[None, :, 2, 1, None])
-            t_b = (o_r * sty_dd[None, :, 0, 2, None] + o_g * sty_dd[None, :, 1, 2, None]
-                   + o_b * sty_dd[None, :, 2, 2, None])
+            srad = jnp.clip(srad + sty_dI.astype(fdt)[None, :, None], 0.0, None)
+            bc = bc + sty_dP.astype(fdt)
+            sty_dd_ = sty_dd.astype(fdt)
+            o_r = ow * off_r
+            o_g = ow * off_g
+            o_b = ow * off_b
+            t_r = (o_r * sty_dd_[None, :, 0, 0, None] + o_g * sty_dd_[None, :, 1, 0, None]
+                   + o_b * sty_dd_[None, :, 2, 0, None])
+            t_g = (o_r * sty_dd_[None, :, 0, 1, None] + o_g * sty_dd_[None, :, 1, 1, None]
+                   + o_b * sty_dd_[None, :, 2, 1, None])
+            t_b = (o_r * sty_dd_[None, :, 0, 2, None] + o_g * sty_dd_[None, :, 1, 2, None]
+                   + o_b * sty_dd_[None, :, 2, 2, None])
             fr = jnp.clip(srad * (bc[None, :, 0, None] + t_r), 0.0, 1.0)
             fg = jnp.clip(srad * (bc[None, :, 1, None] + t_g), 0.0, 1.0)
             fb = jnp.clip(srad * (bc[None, :, 2, None] + t_b), 0.0, 1.0)
         else:
-            fr = srad * (bc[None, :, 0, None] + offsets_weight * off_r)
-            fg = srad * (bc[None, :, 1, None] + offsets_weight * off_g)
-            fb = srad * (bc[None, :, 2, None] + offsets_weight * off_b)
+            fr = srad * (bc[None, :, 0, None] + ow * off_r)
+            fg = srad * (bc[None, :, 1, None] + ow * off_g)
+            fb = srad * (bc[None, :, 2, None] + ow * off_b)
         if has_edit:
             # RegionEdit per sample. xyz is in the PERMUTED frame; render_sweep
             # permutes edit.mean_xyz to match (isotropic gaussian -> same distance).
@@ -368,7 +388,7 @@ def _sweep_composite(
             d2 = ((zk - uni[13]) ** 2 + (pxs - uni[14]) ** 2
                   + (pys - uni[15]) ** 2)
             wgt = jnp.where(uni[16] > 0,
-                            jnp.exp(-d2 / uni[17]), 1.0)[:, None, :]
+                            jnp.exp(-d2 / uni[17]), 1.0)[:, None, :].astype(fdt)
             if has_mask:
                 # baked semantic (clip) weight, interpolated like the features
                 wgt = wgt * mask_uv[:, None, :]
@@ -390,9 +410,10 @@ def _sweep_composite(
                 # frame rate) and keeps the edit_cull cond operands at the
                 # contracted [Ucol, Urow] size.
                 eb = list(edit_bases)
-                dh = delta_hsv[None, eb, 0, None]
-                ds = delta_hsv[None, eb, 1, None]
-                dv = delta_hsv[None, eb, 2, None]
+                dhsv = delta_hsv.astype(fdt)
+                dh = dhsv[None, eb, 0, None]
+                ds = dhsv[None, eb, 1, None]
+                dv = dhsv[None, eb, 2, None]
                 fre, fge, fbe = fr[:, eb, :], fg[:, eb, :], fb[:, eb, :]
                 ome = om[:, eb, :]
 
@@ -416,9 +437,10 @@ def _sweep_composite(
                                  (om * fb).sum(1) + d_b)
                 return sigma, r, g, b
 
-            dh = delta_hsv[None, :, 0, None]
-            ds = delta_hsv[None, :, 1, None]
-            dv = delta_hsv[None, :, 2, None]
+            dhsv = delta_hsv.astype(fdt)
+            dh = dhsv[None, :, 0, None]
+            ds = dhsv[None, :, 1, None]
+            dv = dhsv[None, :, 2, None]
 
             def recolor(ops):
                 r0, g0, b0 = ops
@@ -451,21 +473,21 @@ def _sweep_composite(
         B = _interp_matrix(sy, Y)                                  # [Urow, Y]
         t1 = jax.lax.dot_general(
             A, slc.reshape(X, C * Y), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=fdt,
         ).reshape(U, C, Y)
         feat = jax.lax.dot_general(
             t1, B, (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=fdt,
         )                                                          # [Ucol, C, Urow]
 
         if has_mask:
             mslc = jax.lax.dynamic_index_in_dim(mask_vol, k_eff, 0, keepdims=False)
             m1 = jax.lax.dot_general(
                 A, mslc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                # [Ucol, Y]
+                preferred_element_type=fdt)                        # [Ucol, Y]
             mask_uv = jax.lax.dot_general(
                 m1, B, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)                # [Ucol, Urow]
+                preferred_element_type=fdt)                        # [Ucol, Urow]
         else:
             mask_uv = None
         sigma, r, g, b = shade(feat, lam, zk, mask_uv)
@@ -612,9 +634,10 @@ def render_sweep(
     t_thresh: float = 1e-2,
     density_scale: float = 1.0,
     skip: str = "block",
-    unroll: int = 4,
+    unroll: Optional[int] = None,
     stylizer=None,
     clip_masks=None,
+    shade_bf16: Optional[bool] = None,
 ):
     """Render one frame from a SweepVolume. Palette mode iff ``sv.num_basis > 0``
     (then ``basis_color`` [P,3] is required — pass *edited* colors for recoloring).
@@ -628,6 +651,18 @@ def render_sweep(
     """
     plan = plan_sweep(np.asarray(pose), intrinsics, H, W, sv.bound, u_res)
     P = sv.num_basis
+    C = sv.vols[0].shape[2]
+    if unroll is None:
+        # round-5 on-chip matrix (scripts/probe_sweep_skip.py, trained bake):
+        # narrow volumes (nerf C=4) are pipeline-latency-bound — unroll 8 lets
+        # XLA overlap slices (28 -> 63 fps); wide palette volumes are VMEM-bound
+        # and regress past unroll 4 (26.4 -> 20.8 fps at unroll 8).
+        unroll = 8 if C <= 8 else 4
+    if shade_bf16 is None:
+        # palette shade is VPU-bound; bf16 doubles it (PSNR-checked >= 45 dB vs
+        # the f32 sweep on the trained bake). The nerf sweep keeps f32 shade —
+        # it is latency-bound, not VPU-bound, so bf16 buys nothing there.
+        shade_bf16 = P > 0
     if P:
         assert basis_color is not None, "palette sweep needs basis_color [P,3]"
         bc = jnp.asarray(basis_color, jnp.float32)
@@ -711,6 +746,6 @@ def render_sweep(
         weight_mode=bool(edit.weight_mode), has_edit=has_edit,
         edit_cull=edit_cull, skip=skip, unroll=unroll,
         vd_bands=sv.vd_bands, has_style=has_style, has_mask=has_mask,
-        edit_bases=edit_bases,
+        edit_bases=edit_bases, shade_bf16=bool(shade_bf16),
     )
     return _warp_to_screen(inter, jnp.asarray(uniw), h=H, w=W, u_res=u_res)
