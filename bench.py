@@ -198,11 +198,24 @@ def bench_exact_eval(data_root="data_proc/proc_toys",
     stage-1 checkpoint with the default compaction-rounds schedule + cross-ray
     sample compaction (round-3 verdict #2 evidence; round-2 measured 82.8 s).
     ``fine_grid > 0`` adds the dt-aware fine eval bitfield (exact-conservative;
-    the bake itself runs once and is excluded from the frame timing)."""
+    the bake itself runs once and is excluded from the frame timing).
+
+    results*/ are gitignored and the driver benches a fresh clone, so when the
+    training workspace is absent this falls back to the committed stage-1
+    deploy checkpoint (deploy/proc_toys/nerf_*.ckpt) the same way the sweep
+    headline falls back to the palette deploy ckpt."""
+    import glob
     import os
 
-    if not (os.path.isdir(data_root) and os.path.isdir(workspace)):
+    if not os.path.isdir(data_root):
         return None
+    use_checkpoint = "latest"
+    if not os.path.isdir(workspace):
+        cands = sorted(glob.glob("deploy/proc_toys/nerf_*.ckpt"))
+        if not cands:
+            return None
+        use_checkpoint = cands[-1]
+        workspace = "/tmp/bench_exact_eval_ws"
     import dataclasses
 
     from palettenerf_tpu.config import Config
@@ -219,7 +232,7 @@ def bench_exact_eval(data_root="data_proc/proc_toys",
                           grid_levels=cfg.grid_levels,
                           grid_level_dim=cfg.grid_level_dim)
     tr = Trainer("ngp", cfg, spec, workspace=workspace,
-                 use_checkpoint="latest", mute=True)
+                 use_checkpoint=use_checkpoint, mute=True)
     ds = NeRFDataset(cfg, type="test")
     data = next(iter(ds.iter_epoch()))
     ro = np.asarray(data["rays_o"]).reshape(-1, 3)
